@@ -7,4 +7,13 @@ large-beam serving — designed TPU-first (SPMD meshes, functional state,
 static shapes, Pallas kernels on the hot path).
 """
 
+import jax as _jax
+
+# 64-bit ids are part of the framework contract: dynamic-embedding keys are
+# int64 (hash ids can exceed 2^31), matching the reference's int64 KJT
+# values. Compute dtypes stay explicit (bf16/f32) everywhere — enabling x64
+# only widens what's *representable*; nothing in the compute path creates
+# f64 arrays.
+_jax.config.update("jax_enable_x64", True)
+
 __version__ = "0.1.0"

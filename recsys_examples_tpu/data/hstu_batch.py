@@ -1,0 +1,145 @@
+"""Batch containers + synthetic (Zipf) generator for HSTU training.
+
+TPU-native counterpart of the reference's KJT-based `HSTUBatch`
+(examples/commons/datasets/hstu_batch.py:214, random generator :376).
+Features are static-capacity jagged id lists; every array is a pytree leaf
+so the whole batch can be device_put/sharded as one unit.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class JaggedIds:
+    """A jagged list of ids per sample (one sparse feature)."""
+
+    values: jax.Array   # [cap] int64/int32, padded with 0
+    lengths: jax.Array  # [B] int32
+    offsets: jax.Array  # [B+1] int32
+    max_len: int = struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.values.shape[0]
+
+
+@struct.dataclass
+class HSTUBatch:
+    """One training/eval batch.
+
+    features: name -> JaggedIds. The item feature contains history followed
+    by candidates (when num_candidates is set). Contextual features hold
+    <= 1 token per sample typically.
+    labels: per-candidate (or per-item when no candidates) bit-encoded
+    multi-task labels, static capacity aligned with the item feature or the
+    candidate count (reference: hstu_batch.py:419-484).
+    """
+
+    features: Dict[str, JaggedIds]
+    batch_size: int = struct.field(pytree_node=False)
+    feature_to_max_seqlen: Mapping[str, int] = struct.field(pytree_node=False)
+    item_feature_name: str = struct.field(pytree_node=False)
+    action_feature_name: Optional[str] = struct.field(pytree_node=False, default=None)
+    contextual_feature_names: Tuple[str, ...] = struct.field(
+        pytree_node=False, default=()
+    )
+    max_num_candidates: int = struct.field(pytree_node=False, default=0)
+    num_candidates: Optional[jax.Array] = None  # [B] int32
+    labels: Optional[jax.Array] = None          # [label_cap] int32
+    label_lengths: Optional[jax.Array] = None   # [B] int32
+    timestamps: Optional[jax.Array] = None      # aligned with item values
+
+
+def _zipf_lengths(rng: np.random.Generator, a: float, batch: int, max_len: int):
+    ln = rng.zipf(a, size=(batch,)).astype(np.int64)
+    # fold extreme draws back into range, keep at least 1
+    ln = np.minimum((ln - 1) % max_len + 1, max_len)
+    return ln.astype(np.int32)
+
+
+def random_hstu_batch(
+    seed: int,
+    batch_size: int,
+    max_history_len: int,
+    item_vocab: int,
+    *,
+    action_vocab: int = 0,
+    contextual_vocabs: Optional[Mapping[str, int]] = None,
+    max_num_candidates: int = 0,
+    num_tasks: int = 1,
+    zipf_a: float = 1.2,
+    full_capacity: bool = False,
+) -> HSTUBatch:
+    """Synthetic batch with Zipf-distributed history lengths
+    (reference: hstu_batch.py:376 `HSTUBatch.random`).
+
+    `full_capacity=True` makes every sequence max-length (for benchmarking
+    the dense-compute upper bound)."""
+    rng = np.random.default_rng(seed)
+    if full_capacity:
+        hist = np.full((batch_size,), max_history_len, np.int32)
+    else:
+        hist = _zipf_lengths(rng, zipf_a, batch_size, max_history_len)
+    ncand = None
+    if max_num_candidates > 0:
+        ncand = rng.integers(1, max_num_candidates + 1, size=(batch_size,))
+        ncand = ncand.astype(np.int32)
+    item_len = hist + (ncand if ncand is not None else 0)
+    item_max = max_history_len + max_num_candidates
+    cap = batch_size * item_max
+
+    def mk_ids(lengths, capacity, vocab):
+        total = int(lengths.sum())
+        vals = np.zeros((capacity,), np.int64)
+        vals[:total] = rng.integers(0, vocab, size=(total,))
+        offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        return JaggedIds(
+            values=jnp.asarray(vals),
+            lengths=jnp.asarray(lengths.astype(np.int32)),
+            offsets=jnp.asarray(offs),
+            max_len=int(capacity // batch_size),
+        )
+
+    features = {"item": mk_ids(item_len, cap, item_vocab)}
+    feature_to_max_seqlen = {"item": item_max}
+    action_name = None
+    if action_vocab > 0:
+        action_name = "action"
+        features["action"] = mk_ids(item_len, cap, action_vocab)
+        feature_to_max_seqlen["action"] = item_max
+    ctx_names = ()
+    if contextual_vocabs:
+        ctx_names = tuple(contextual_vocabs.keys())
+        for name, vocab in contextual_vocabs.items():
+            ln = np.ones((batch_size,), np.int32)
+            features[name] = mk_ids(ln, batch_size, vocab)
+            feature_to_max_seqlen[name] = 1
+
+    if ncand is not None:
+        label_len = ncand
+        label_cap = batch_size * max_num_candidates
+    else:
+        label_len = item_len
+        label_cap = cap
+    total_labels = int(label_len.sum())
+    lab = np.zeros((label_cap,), np.int32)
+    lab[:total_labels] = rng.integers(0, 1 << num_tasks, size=(total_labels,))
+
+    return HSTUBatch(
+        features=features,
+        batch_size=batch_size,
+        feature_to_max_seqlen=feature_to_max_seqlen,
+        item_feature_name="item",
+        action_feature_name=action_name,
+        contextual_feature_names=ctx_names,
+        max_num_candidates=max_num_candidates,
+        num_candidates=None if ncand is None else jnp.asarray(ncand),
+        labels=jnp.asarray(lab),
+        label_lengths=jnp.asarray(label_len.astype(np.int32)),
+    )

@@ -1,0 +1,206 @@
+"""Dynamic embedding table module: train/eval lookup, admission, scores,
+sparse backward — functional state-in/state-out.
+
+Counterpart of the reference's `BatchedDynamicEmbeddingTablesV2`
+(corelib/dynamicemb/dynamicemb/batched_dynamicemb_tables.py:452) +
+`DynamicEmbeddingFunction` autograd (batched_dynamicemb_function.py:1042)
++ admission (embedding_admission.py).
+
+Train forward (mirrors `_generic_forward_path`
+batched_dynamicemb_function.py:935):
+  unique keys -> lookup -> init misses -> (admission filter) ->
+  insert_and_evict -> gather rows -> embeddings.
+Backward: reduce grads by reverse indices (done by autodiff on the gathered
+unique embeddings) -> fused sparse optimizer on the rows.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import (
+    EMPTY_KEY,
+    DynamicEmbScoreStrategy,
+    DynamicEmbTableOptions,
+)
+from recsys_examples_tpu.dynamicemb.hashtable import (
+    HashTableState,
+    add_scores,
+    create_table_state,
+    insert_and_evict,
+    lookup,
+)
+from recsys_examples_tpu.dynamicemb.initializer import initialize_embeddings
+from recsys_examples_tpu.dynamicemb.optimizer import (
+    SparseOptimizerArgs,
+    initial_row,
+    sparse_update,
+    value_dim_for,
+)
+
+
+@struct.dataclass
+class DynamicEmbTableState:
+    table: HashTableState
+    counter: Optional[HashTableState]  # admission frequency counter
+    step: jax.Array                    # [1] int64 monotonic score clock
+
+
+class DynamicEmbeddingTable:
+    """Static config + functional ops for one sharded dynamic table."""
+
+    def __init__(
+        self,
+        options: DynamicEmbTableOptions,
+        opt_args: SparseOptimizerArgs,
+        world_size: int = 1,
+    ):
+        self.options = options
+        self.opt_args = opt_args
+        self.dim = options.embedding_dim
+        self.value_dim = value_dim_for(opt_args.optimizer, self.dim)
+        self.capacity = options.sharded_capacity(world_size)
+
+    # ------------------------------------------------------------ state
+    def init_state(self) -> DynamicEmbTableState:
+        opts = self.options
+        table = create_table_state(
+            self.capacity, opts.bucket_capacity, self.value_dim,
+            opts.value_dtype,
+        )
+        counter = None
+        if opts.admission_threshold > 0:
+            # counter table: scores hold frequencies, 1-wide dummy values
+            counter = create_table_state(
+                self.capacity, opts.bucket_capacity, 1, jnp.float32
+            )
+        return DynamicEmbTableState(
+            table=table, counter=counter, step=jnp.zeros((1,), jnp.int64)
+        )
+
+    # ------------------------------------------------------------ scores
+    def _scores(self, state: DynamicEmbTableState, n: int) -> jax.Array:
+        strat = self.options.score_strategy
+        if strat in (DynamicEmbScoreStrategy.TIMESTAMP, DynamicEmbScoreStrategy.STEP):
+            return jnp.full((n,), 1, jnp.int64) * (state.step[0] + 1)
+        if strat == DynamicEmbScoreStrategy.LFU:
+            # counts accumulate via add_scores after insert; seed at 0
+            return jnp.zeros((n,), jnp.int64)
+        raise ValueError(f"CUSTOM scores must be passed explicitly")
+
+    # ------------------------------------------------------------ forward
+    def forward_train(
+        self,
+        state: DynamicEmbTableState,
+        unique_keys: jax.Array,        # [u] int64, EMPTY_KEY padded
+        custom_scores: Optional[jax.Array] = None,
+        frequencies: Optional[jax.Array] = None,  # [u] per-batch counts
+    ) -> Tuple[DynamicEmbTableState, jax.Array, jax.Array]:
+        """Returns (state, slots [u], unique_embeddings [u, dim]).
+
+        Misses are initialized and inserted (evicting if needed); keys
+        failing admission get transient init embeddings and are NOT stored.
+        """
+        opts = self.options
+        u = unique_keys.shape[0]
+        active = unique_keys != EMPTY_KEY
+
+        if custom_scores is not None:
+            scores = custom_scores.astype(jnp.int64)
+        else:
+            scores = self._scores(state, u)
+
+        slots0, found = lookup(state.table, unique_keys)
+
+        # admission: bump counters for missed keys; admit if freq >= thresh
+        counter = state.counter
+        insert_keys = unique_keys
+        if counter is not None:
+            freq = (
+                frequencies.astype(jnp.int64)
+                if frequencies is not None
+                else jnp.ones((u,), jnp.int64)
+            )
+            miss_keys = jnp.where(found, EMPTY_KEY, unique_keys)
+            counter, cslots, _ = insert_and_evict(
+                counter, miss_keys, jnp.zeros((u,), jnp.int64), None,
+                rounds=opts.insert_rounds,
+            )
+            counter = add_scores(counter, cslots, freq)
+            csafe = jnp.clip(cslots, 0, counter.capacity - 1)
+            counts = counter.scores.reshape(-1)[csafe]
+            admitted = found | (
+                (cslots >= 0) & (counts >= opts.admission_threshold)
+            )
+            insert_keys = jnp.where(admitted, unique_keys, EMPTY_KEY)
+        else:
+            admitted = active
+
+        init_emb = initialize_embeddings(
+            unique_keys, self.dim, opts.initializer_args,
+            opts.value_dtype,
+        )
+        init_rows = initial_row(self.opt_args.optimizer, init_emb, self.opt_args)
+        # only misses insert new rows; hits refresh scores
+        table, slots, _ = insert_and_evict(
+            state.table,
+            insert_keys,
+            scores,
+            init_rows,
+            update_existing_values=False,
+            rounds=opts.insert_rounds,
+        )
+        if opts.score_strategy == DynamicEmbScoreStrategy.LFU:
+            table = add_scores(
+                table, slots,
+                frequencies.astype(jnp.int64)
+                if frequencies is not None
+                else jnp.ones((u,), jnp.int64),
+            )
+
+        safe = jnp.clip(slots, 0, table.capacity - 1)
+        emb = table.values[safe, : self.dim]
+        stored = slots >= 0
+        emb = jnp.where(stored[:, None], emb, init_emb)
+        emb = jnp.where(active[:, None], emb, jnp.zeros((), emb.dtype))
+
+        new_state = DynamicEmbTableState(
+            table=table, counter=counter, step=state.step + 1
+        )
+        return new_state, slots, emb
+
+    def forward_eval(
+        self, state: DynamicEmbTableState, unique_keys: jax.Array
+    ) -> jax.Array:
+        """Eval lookup: missing keys get the eval initializer (zeros by
+        default), nothing is inserted (reference: dynamicemb_eval_forward
+        batched_dynamicemb_function.py:836)."""
+        slots, found = lookup(state.table, unique_keys)
+        safe = jnp.clip(slots, 0, state.table.capacity - 1)
+        emb = state.table.values[safe, : self.dim]
+        miss_emb = initialize_embeddings(
+            unique_keys, self.dim, self.options.eval_initializer_args,
+            self.options.value_dtype,
+        )
+        emb = jnp.where(found[:, None], emb, miss_emb)
+        active = unique_keys != EMPTY_KEY
+        return jnp.where(active[:, None], emb, jnp.zeros((), emb.dtype))
+
+    # ------------------------------------------------------------ backward
+    def backward(
+        self,
+        state: DynamicEmbTableState,
+        slots: jax.Array,
+        grads: jax.Array,   # [u, dim]
+        step: Optional[jax.Array] = None,
+    ) -> DynamicEmbTableState:
+        step_val = step if step is not None else state.step[0]
+        table = sparse_update(
+            state.table, slots, grads, self.opt_args,
+            step_val.astype(jnp.int32),
+        )
+        return dataclasses.replace(state, table=table)

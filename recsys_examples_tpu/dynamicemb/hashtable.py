@@ -1,0 +1,290 @@
+"""Functional bucketized scored hash table — the TPU dynamic-embedding core.
+
+Re-design of the reference's GPU hash table
+(corelib/dynamicemb/dynamicemb/scored_hashtable.py:294 `LinearBucketTable`;
+device kernels corelib/dynamicemb/src/table_operation/*.cu) as pure
+state-in/state-out JAX ops:
+
+  - State = dense arrays: keys/scores [num_buckets, bucket_capacity],
+    values [num_slots, value_dim] (flat-table layout: embedding followed by
+    optimizer-state columns, like the reference's "flat table").
+  - lookup: hash -> gather the bucket row -> vectorized compare. One gather
+    + VPU compare per key; no pointer chasing.
+  - insert_and_evict: per key pick the slot (match > empty > min-score
+    eviction), resolve same-slot collisions between *different* keys with a
+    scatter-min claim + bounded retry rounds (keys are pre-deduped by
+    segmented_unique, so collisions are rare and R=4 rounds converge in
+    practice; leftovers are counted as overflow, mirroring the reference's
+    safe-check counters).
+  - Everything is static-shape; "not found"/"failed" are -1 slots.
+
+Scores are int64; larger = more recently/frequently used = kept longer.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import (
+    EMPTY_KEY,
+    DynamicEmbTableOptions,
+    hash_keys,
+)
+
+
+@struct.dataclass
+class HashTableState:
+    keys: jax.Array     # [num_buckets, C] int64, EMPTY_KEY = free
+    scores: jax.Array   # [num_buckets, C] int64
+    values: jax.Array   # [num_buckets * C, value_dim] float
+    # stats (shape-(1,) int64 so they shard per-device under shard_map)
+    inserted: jax.Array
+    evicted: jax.Array
+    overflowed: jax.Array
+
+    @property
+    def num_buckets(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def bucket_capacity(self) -> int:
+        return self.keys.shape[1]
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0] * self.keys.shape[1]
+
+    @property
+    def value_dim(self) -> int:
+        return self.values.shape[1]
+
+
+def create_table_state(
+    capacity: int,
+    bucket_capacity: int,
+    value_dim: int,
+    value_dtype=jnp.float32,
+) -> HashTableState:
+    assert capacity % bucket_capacity == 0
+    nb = capacity // bucket_capacity
+    return HashTableState(
+        keys=jnp.full((nb, bucket_capacity), EMPTY_KEY, jnp.int64),
+        scores=jnp.zeros((nb, bucket_capacity), jnp.int64),
+        values=jnp.zeros((nb * bucket_capacity, value_dim), value_dtype),
+        inserted=jnp.zeros((1,), jnp.int64),
+        evicted=jnp.zeros((1,), jnp.int64),
+        overflowed=jnp.zeros((1,), jnp.int64),
+    )
+
+
+def lookup(
+    state: HashTableState, keys: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """keys [n] int64 -> (slots [n] int32 flat index or -1, found [n] bool).
+
+    EMPTY_KEY inputs (padding) are never found.
+    (reference: table_lookup, src/table_operation/table.cu)
+    """
+    C = state.bucket_capacity
+    b = hash_keys(keys, state.num_buckets)
+    bucket_keys = state.keys[b]  # [n, C]
+    match = (bucket_keys == keys[:, None]) & (keys[:, None] != EMPTY_KEY)
+    found = jnp.any(match, axis=1)
+    slot_in = jnp.argmax(match, axis=1).astype(jnp.int32)
+    slots = jnp.where(found, b * C + slot_in, -1)
+    return slots, found
+
+
+def _bucket_rank(b, want, num_buckets):
+    """Rank of each wanted key among wanted keys of the same bucket.
+
+    Distinct ranks let all same-bucket keys claim *different* slots in one
+    round instead of serializing one insert per round."""
+    n = b.shape[0]
+    bm = jnp.where(want, b, num_buckets)
+    order = jnp.argsort(bm)
+    sorted_b = bm[order]
+    run_start = jnp.searchsorted(sorted_b, sorted_b, side="left")
+    pos_sorted = jnp.arange(n, dtype=jnp.int32) - run_start.astype(jnp.int32)
+    return jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+
+
+def _choose_slot(bucket_keys, bucket_scores, key, rank):
+    """Per-key target slot: match > rank-th empty > rank-th min-score."""
+    n, C = bucket_keys.shape
+    match = (bucket_keys == key[:, None]) & (key[:, None] != EMPTY_KEY)
+    found = jnp.any(match, axis=1)
+    match_slot = jnp.argmax(match, axis=1)
+
+    empty = bucket_keys == EMPTY_KEY
+    empty_cum = jnp.cumsum(empty.astype(jnp.int32), axis=1)
+    num_empty = empty_cum[:, -1]
+    takes_empty = rank < num_empty
+    kth_empty = jnp.argmax(empty_cum > rank[:, None], axis=1)
+
+    # eviction: the (rank - num_empty)-th lowest-score slot
+    score_order = jnp.argsort(bucket_scores, axis=1)
+    ev_rank = jnp.clip(rank - num_empty, 0, C - 1)
+    evict_slot = jnp.take_along_axis(
+        score_order, ev_rank[:, None], axis=1
+    )[:, 0]
+
+    slot = jnp.where(
+        found, match_slot, jnp.where(takes_empty, kth_empty, evict_slot)
+    )
+    is_evict = ~found & ~takes_empty
+    return slot.astype(jnp.int32), found, is_evict
+
+
+def insert_and_evict(
+    state: HashTableState,
+    keys: jax.Array,          # [n] int64, pre-deduped; EMPTY_KEY = skip
+    scores: jax.Array,        # [n] int64
+    values: Optional[jax.Array],  # [n, value_dim] or None (keep existing)
+    *,
+    update_existing_values: bool = False,
+    rounds: int = 4,
+) -> Tuple[HashTableState, jax.Array, jax.Array]:
+    """Insert keys (evicting min-score victims in full buckets).
+
+    Returns (new_state, slots [n] int32 (-1 = failed/skipped), evicted_mask).
+    Existing keys get score refreshed (max(old, new)); their values are
+    overwritten only when update_existing_values.
+    (reference: table_insert_and_evict, src/table_operation/insert_and_evict.cu)
+    """
+    n = keys.shape[0]
+    C = state.bucket_capacity
+    b = hash_keys(keys, state.num_buckets)
+    active = keys != EMPTY_KEY
+    slots_out = jnp.full((n,), -1, jnp.int32)
+    evicted_any = jnp.zeros((n,), bool)
+
+    def one_round(carry, _):
+        st, pending, slots_out, evicted_any = carry
+        bucket_keys = st.keys[b]
+        bucket_scores = jnp.where(
+            bucket_keys == EMPTY_KEY,
+            jnp.iinfo(jnp.int64).min,
+            st.scores[b],
+        )
+        want = pending & active
+        rank = _bucket_rank(b, want, st.num_buckets)
+        slot_in, found, is_evict = _choose_slot(
+            bucket_keys, bucket_scores, keys, rank
+        )
+        # claim: lowest key index wins each (bucket, slot) cell this round
+        claim = jnp.full((st.num_buckets, C), n, jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        claim = claim.at[b, slot_in].min(jnp.where(want, idx, n))
+        win = want & (claim[b, slot_in] == idx)
+
+        flat = b * C + slot_in
+        cap = st.num_buckets * C
+        # scatter ONLY from winners: losers' indices are pushed out of
+        # bounds and dropped — a masked .set() with duplicate indices is
+        # nondeterministic (losers could clobber the winner's write).
+        flat_w = jnp.where(win, flat, cap)
+        new_keys = (
+            st.keys.reshape(-1).at[flat_w].set(keys, mode="drop")
+            .reshape(st.num_buckets, C)
+        )
+        old_scores_at = st.scores.reshape(-1)[flat]
+        refreshed = jnp.where(
+            found, jnp.maximum(old_scores_at, scores), scores
+        )
+        new_scores = (
+            st.scores.reshape(-1).at[flat_w].set(refreshed, mode="drop")
+            .reshape(st.num_buckets, C)
+        )
+
+        if values is not None:
+            write_val = win & (~found | update_existing_values)
+            flat_v = jnp.where(write_val, flat, cap)
+            new_values = st.values.at[flat_v].set(
+                values.astype(st.values.dtype), mode="drop"
+            )
+        else:
+            new_values = st.values
+
+        newly_inserted = win & ~found
+        newly_evicted = win & is_evict
+        st = st.replace(
+            keys=new_keys,
+            scores=new_scores,
+            values=new_values,
+            inserted=st.inserted + newly_inserted.sum(dtype=jnp.int64),
+            evicted=st.evicted + newly_evicted.sum(dtype=jnp.int64),
+        )
+        slots_out = jnp.where(win, flat.astype(jnp.int32), slots_out)
+        evicted_any = evicted_any | newly_evicted
+        pending = pending & ~win
+        return (st, pending, slots_out, evicted_any), None
+
+    carry = (state, active, slots_out, evicted_any)
+    for _ in range(rounds):
+        carry, _ = one_round(carry, None)
+    state, pending, slots_out, evicted_any = carry
+    state = state.replace(
+        overflowed=state.overflowed + (pending & active).sum(dtype=jnp.int64)
+    )
+    return state, slots_out, evicted_any
+
+
+def erase(state: HashTableState, keys: jax.Array) -> HashTableState:
+    """Remove keys (reference: table_erase)."""
+    slots, found = lookup(state, keys)
+    tgt = jnp.where(found, slots, state.capacity)  # drop non-found
+    flat_keys = state.keys.reshape(-1).at[tgt].set(EMPTY_KEY, mode="drop")
+    flat_scores = state.scores.reshape(-1).at[tgt].set(0, mode="drop")
+    return state.replace(
+        keys=flat_keys.reshape(state.keys.shape),
+        scores=flat_scores.reshape(state.scores.shape),
+    )
+
+
+def update_scores(
+    state: HashTableState, slots: jax.Array, scores: jax.Array
+) -> HashTableState:
+    tgt = jnp.where(slots >= 0, slots, state.capacity)
+    flat = state.scores.reshape(-1).at[tgt].set(scores, mode="drop")
+    return state.replace(scores=flat.reshape(state.scores.shape))
+
+
+def add_scores(
+    state: HashTableState, slots: jax.Array, inc: jax.Array
+) -> HashTableState:
+    """Accumulate into scores (LFU counting)."""
+    tgt = jnp.where(slots >= 0, slots, state.capacity)
+    flat = state.scores.reshape(-1).at[tgt].add(inc, mode="drop")
+    return state.replace(scores=flat.reshape(state.scores.shape))
+
+
+def export_batch(
+    state: HashTableState, start_bucket: int, num_buckets: int
+):
+    """Export a contiguous bucket range: (keys, scores, values, valid).
+
+    Static-shape batched export for dump/checkpoint
+    (reference: table_export_batch)."""
+    k = jax.lax.dynamic_slice_in_dim(state.keys, start_bucket, num_buckets, 0)
+    s = jax.lax.dynamic_slice_in_dim(state.scores, start_bucket, num_buckets, 0)
+    C = state.bucket_capacity
+    v = jax.lax.dynamic_slice_in_dim(
+        state.values, start_bucket * C, num_buckets * C, 0
+    )
+    valid = (k != EMPTY_KEY).reshape(-1)
+    return k.reshape(-1), s.reshape(-1), v, valid
+
+
+def count_matched(state: HashTableState, threshold: jax.Array) -> jax.Array:
+    """Number of live keys with score >= threshold
+    (reference: table_count_matched)."""
+    live = state.keys != EMPTY_KEY
+    return (live & (state.scores >= threshold)).sum(dtype=jnp.int64)
+
+
+def table_size(state: HashTableState) -> jax.Array:
+    return (state.keys != EMPTY_KEY).sum(dtype=jnp.int64)

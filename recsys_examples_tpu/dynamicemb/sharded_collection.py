@@ -1,0 +1,269 @@
+"""Model-parallel (row-sharded) dynamic embedding with all-to-all exchange.
+
+TPU re-design of the reference's TorchRec integration
+(`ShardedDynamicEmbeddingCollection` corelib/dynamicemb/dynamicemb/shard/
+embedding.py:78; `RwSparseFeaturesDist` input_dist.py:199 — bucketize KJT
+per rank then NCCL all-to-all, sequence embeddings all-to-all'd back).
+
+TPU design (static shapes, ICI collectives, shard_map):
+  - Table rows live on the owner rank: owner = key mod world ("roundrobin"
+    dist_type; reference planner.py dist_type options).
+  - Exchange = fixed-capacity bucketed `lax.all_to_all`: each rank packs its
+    (locally deduped) unique keys into a [W, cap] send buffer; overflowing
+    keys are dropped to transient-init embeddings and counted (the ragged
+    all-to-all of the reference is not expressible under XLA's static
+    shapes; cap has a safety factor over the balanced load u/W).
+  - Phase A (forward, non-diff): unique -> a2a ids -> owner lookup/insert ->
+    a2a embeddings -> per-token gather. Returns per-token embeddings plus a
+    routing residual.
+  - Phase B (diff, caller): dense model consumes per-token embeddings.
+  - Phase C (backward, non-diff): per-token grads -> local segment-sum by
+    unique -> a2a -> owner-side segment-sum -> fused sparse optimizer.
+
+The same code runs single-device (W=1: the a2a degenerates to identity).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from recsys_examples_tpu.dynamicemb.batched_table import (
+    DynamicEmbeddingTable,
+    DynamicEmbTableState,
+)
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import EMPTY_KEY
+from recsys_examples_tpu.dynamicemb.unique_op import segmented_unique
+from recsys_examples_tpu.parallel.mesh import DATA_AXIS
+
+
+class LookupResidual(NamedTuple):
+    """Routing info from phase A needed by phase C (all per-rank arrays)."""
+
+    reverse_idx: jax.Array   # [n] token -> local unique slot
+    owner: jax.Array         # [n] dest rank per local unique
+    pos: jax.Array           # [n] slot within dest bucket
+    recv_keys: jax.Array     # [W*cap] keys this rank served
+    recv_reverse: jax.Array  # [W*cap] recv -> owner-unique slot
+    slots: jax.Array         # [W*cap] table slots of owner uniques
+    num_unique: jax.Array    # [1] local unique count
+
+
+def _route(unique_keys: jax.Array, W: int, cap: int):
+    """Assign each unique key an owner rank and a bucket position."""
+    n = unique_keys.shape[0]
+    active = unique_keys != EMPTY_KEY
+    owner = jnp.where(
+        active,
+        (unique_keys % W).astype(jnp.int32),
+        W,  # park padding in a virtual bucket
+    )
+    # position within owner's bucket = rank among same-owner keys
+    order = jnp.argsort(owner)
+    sorted_owner = owner[order]
+    seg_start = jnp.searchsorted(sorted_owner, jnp.arange(W + 1, dtype=owner.dtype))
+    pos_sorted = jnp.arange(n, dtype=jnp.int32) - seg_start[sorted_owner]
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+    overflow = active & (pos >= cap)
+    owner = jnp.where(overflow, W, owner)
+    return owner, pos, overflow
+
+
+class ShardedDynamicEmbedding:
+    """One row-sharded dynamic table + its exchange logic."""
+
+    def __init__(
+        self,
+        table: DynamicEmbeddingTable,
+        mesh: Optional[Mesh] = None,
+        axis: str = DATA_AXIS,
+        bucket_factor: float = 2.0,
+    ):
+        self.table = table
+        self.mesh = mesh
+        self.axis = axis
+        self.world = 1 if mesh is None else mesh.shape[axis]
+        self.bucket_factor = bucket_factor
+
+    # ------------------------------------------------------------ helpers
+    def _cap(self, n: int) -> int:
+        if self.world == 1:
+            return n
+        cap = int(self.bucket_factor * (n + self.world - 1) // self.world)
+        return max(8, min(n, (cap + 7) // 8 * 8))
+
+    def init_state(self) -> DynamicEmbTableState:
+        """Per-shard states; replicated over non-`axis` mesh dims."""
+        if self.mesh is None:
+            return self.table.init_state()
+
+        def init_local():
+            return self.table.init_state()
+
+        out_specs = jax.tree.map(
+            lambda _: P(self.axis) if _ndim_ge1(_) else P(),
+            jax.eval_shape(init_local),
+        )
+        f = shard_map(
+            init_local, mesh=self.mesh, in_specs=(), out_specs=out_specs,
+            check_rep=False,
+        )
+        return f()
+
+    # ------------------------------------------------------------ phase A
+    def forward(
+        self,
+        state: DynamicEmbTableState,
+        ids: jax.Array,     # [T] int64, sharded over axis (or local if W=1)
+        train: bool = True,
+    ):
+        """Returns (state, per_token_emb [T, dim], residual)."""
+        if self.mesh is None:
+            return self._fwd_local(state, ids, train)
+        state_spec = jax.tree.map(
+            lambda x: P(self.axis) if hasattr(x, "ndim") and x.ndim >= 1 else P(),
+            state,
+        )
+        fn = functools.partial(self._fwd_local, train=train, _in_shmap=True)
+        res_spec = LookupResidual(*([P(self.axis)] * 7))
+        f = shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(state_spec, P(self.axis)),
+            out_specs=(state_spec, P(self.axis), res_spec),
+            check_rep=False,
+        )
+        return f(state, ids)
+
+    def _fwd_local(self, state, ids, train=True, _in_shmap=False):
+        W = self.world
+        table = self.table
+        n = ids.shape[0]
+        uk, rev, _, nu = segmented_unique(ids)
+        cap = self._cap(n)
+
+        if W == 1:
+            if train:
+                state, slots, uemb = table.forward_train(state, uk)
+            else:
+                uemb = table.forward_eval(state, uk)
+                slots = jnp.full((n,), -1, jnp.int32)
+            out = uemb[rev]
+            valid = (ids != EMPTY_KEY)[:, None]
+            out = jnp.where(valid, out, jnp.zeros((), out.dtype))
+            res = LookupResidual(
+                reverse_idx=rev,
+                owner=jnp.zeros((n,), jnp.int32),
+                pos=jnp.arange(n, dtype=jnp.int32),
+                recv_keys=uk,
+                recv_reverse=jnp.arange(n, dtype=jnp.int32),
+                slots=slots,
+                num_unique=nu.reshape(1),
+            )
+            return state, out, res
+
+        owner, pos, _ = _route(uk, W, cap)
+        send_keys = jnp.full((W, cap), EMPTY_KEY, jnp.int64)
+        safe_owner = jnp.minimum(owner, W - 1)
+        ok = owner < W
+        send_keys = send_keys.at[safe_owner, pos].set(
+            jnp.where(ok, uk, EMPTY_KEY)
+        )
+        recv_keys = jax.lax.all_to_all(
+            send_keys, self.axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(W * cap)
+
+        ruk, rrev, _, rnu = segmented_unique(recv_keys)
+        if train:
+            state, slots, uemb = table.forward_train(state, ruk)
+        else:
+            uemb = table.forward_eval(state, ruk)
+            slots = jnp.full((W * cap,), -1, jnp.int32)
+        served = uemb[rrev]  # [W*cap, dim] embeddings per request
+        served = served.reshape(W, cap, -1)
+        got = jax.lax.all_to_all(
+            served, self.axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [W, cap, dim]: got[j] = my bucket-j answers
+        uemb_local = got[safe_owner, pos]
+        # overflowed / padding keys -> transient init (or zeros)
+        missing = ~ok
+        if train:
+            from recsys_examples_tpu.dynamicemb.initializer import (
+                initialize_embeddings,
+            )
+            fallback = initialize_embeddings(
+                uk, table.dim, table.options.initializer_args,
+                table.options.value_dtype,
+            )
+        else:
+            fallback = jnp.zeros_like(uemb_local)
+        uemb_local = jnp.where(missing[:, None], fallback, uemb_local)
+        uemb_local = jnp.where(
+            (uk != EMPTY_KEY)[:, None], uemb_local, jnp.zeros((), uemb_local.dtype)
+        )
+        out = uemb_local[rev]
+        valid = (ids != EMPTY_KEY)[:, None]
+        out = jnp.where(valid, out, jnp.zeros((), out.dtype))
+        res = LookupResidual(
+            reverse_idx=rev, owner=owner, pos=pos,
+            recv_keys=recv_keys, recv_reverse=rrev, slots=slots,
+            num_unique=nu.reshape(1),
+        )
+        return state, out, res
+
+    # ------------------------------------------------------------ phase C
+    def backward(
+        self,
+        state: DynamicEmbTableState,
+        res: LookupResidual,
+        grad_out: jax.Array,  # [T, dim] sharded over axis
+    ) -> DynamicEmbTableState:
+        if self.mesh is None:
+            return self._bwd_local(state, res, grad_out)
+        state_spec = jax.tree.map(
+            lambda x: P(self.axis) if hasattr(x, "ndim") and x.ndim >= 1 else P(),
+            state,
+        )
+        res_spec = LookupResidual(*([P(self.axis)] * 7))
+        f = shard_map(
+            self._bwd_local,
+            mesh=self.mesh,
+            in_specs=(state_spec, res_spec, P(self.axis)),
+            out_specs=state_spec,
+            check_rep=False,
+        )
+        return f(state, res, grad_out)
+
+    def _bwd_local(self, state, res, grad_out):
+        W = self.world
+        n = grad_out.shape[0]
+        dim = grad_out.shape[1]
+        # token grads -> local unique grads
+        gu = jax.ops.segment_sum(
+            grad_out.astype(jnp.float32), res.reverse_idx, num_segments=n
+        )
+        if W == 1:
+            return self.table.backward(state, res.slots, gu)
+        cap = res.recv_keys.shape[0] // W
+        send = jnp.zeros((W, cap, dim), jnp.float32)
+        ok = res.owner < W
+        safe_owner = jnp.minimum(res.owner, W - 1)
+        send = send.at[safe_owner, res.pos].add(
+            jnp.where(ok[:, None], gu, 0.0)
+        )
+        recv = jax.lax.all_to_all(
+            send, self.axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(W * cap, dim)
+        # aggregate per owner-unique key (duplicates across source ranks)
+        gu_owner = jax.ops.segment_sum(
+            recv, res.recv_reverse, num_segments=W * cap
+        )
+        return self.table.backward(state, res.slots, gu_owner)
+
+
+def _ndim_ge1(x) -> bool:
+    return hasattr(x, "ndim") and x.ndim >= 1

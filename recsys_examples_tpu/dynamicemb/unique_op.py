@@ -1,0 +1,96 @@
+"""Segmented (multi-table) key dedup — sort-based, static-shape.
+
+Counterpart of the reference's hash-based `segmented_unique_cuda`
+(corelib/dynamicemb/src/unique_op.cu:797; contract doc src/unique_op.h:27-66):
+given keys from several tables concatenated, produce unique keys per table,
+reverse indices mapping each input to its unique slot, per-table offsets and
+optional frequency counts.
+
+TPU design: a single sort over the composite (table_id, key) is
+MXU/VPU-friendly and deterministic; all outputs are fixed-capacity with an
+EMPTY_KEY sentinel in unused slots (XLA static shapes).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import EMPTY_KEY
+
+
+def segmented_unique(
+    keys: jax.Array,          # [n] int64 (EMPTY_KEY = padding, ignored)
+    table_ids: Optional[jax.Array] = None,  # [n] int32, or None (single table)
+    num_tables: int = 1,
+    *,
+    return_counts: bool = False,
+):
+    """Returns (unique_keys [n], reverse_idx [n], unique_table_ids [n],
+    num_unique [], counts [n]?).
+
+    unique_keys is padded with EMPTY_KEY past num_unique. Padding inputs map
+    their reverse_idx to the slot of EMPTY_KEY's unique entry (which callers
+    mask out — the embedding gather returns zeros for it).
+    Unique entries are sorted by (table_id, key): deterministic, and
+    per-table groups are contiguous (per-table offsets derivable by
+    searchsorted).
+    """
+    n = keys.shape[0]
+    if table_ids is None:
+        table_ids = jnp.zeros((n,), jnp.int32)
+    # composite sort key: EMPTY padding sorts last
+    is_pad = keys == EMPTY_KEY
+    tid = jnp.where(is_pad, num_tables, table_ids.astype(jnp.int32))
+    order = jnp.lexsort((keys, tid))
+    sk = keys[order]
+    st = tid[order]
+    prev_k = jnp.concatenate([sk[:1] - 1, sk[:-1]])
+    prev_t = jnp.concatenate([st[:1] - 1, st[:-1]])
+    first = (sk != prev_k) | (st != prev_t)
+    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    # padding group (if any) must not count as unique
+    pad_sorted = st == num_tables
+    num_unique = jnp.where(
+        jnp.any(~pad_sorted),
+        uid_sorted[jnp.argmax(jnp.cumsum((~pad_sorted).astype(jnp.int32)) - 1)]
+        + 1,
+        0,
+    )
+    # simpler: num_unique = max uid among non-pad + 1
+    num_unique = jnp.where(
+        jnp.any(~pad_sorted),
+        jnp.max(jnp.where(pad_sorted, -1, uid_sorted)) + 1,
+        0,
+    )
+    unique_keys = jnp.full((n,), EMPTY_KEY, keys.dtype)
+    unique_keys = unique_keys.at[uid_sorted].set(
+        jnp.where(pad_sorted, EMPTY_KEY, sk)
+    )
+    unique_tids = jnp.zeros((n,), jnp.int32).at[uid_sorted].set(
+        jnp.where(pad_sorted, 0, st)
+    )
+    reverse = jnp.zeros((n,), jnp.int32).at[order].set(uid_sorted.astype(jnp.int32))
+    if return_counts:
+        counts = jnp.zeros((n,), jnp.int32).at[uid_sorted].add(
+            jnp.where(pad_sorted, 0, 1)
+        )
+        return unique_keys, reverse, unique_tids, num_unique, counts
+    return unique_keys, reverse, unique_tids, num_unique
+
+
+def table_offsets_from_unique(
+    unique_tids: jax.Array, num_unique: jax.Array, num_tables: int
+) -> jax.Array:
+    """[num_tables+1] offsets of each table's unique-key group."""
+    n = unique_tids.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = pos < num_unique
+    # count per table
+    counts = jnp.zeros((num_tables,), jnp.int32).at[
+        jnp.where(valid, unique_tids, 0)
+    ].add(valid.astype(jnp.int32))
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
+    )

@@ -1,0 +1,62 @@
+"""HSTU attention backend dispatch.
+
+Mirrors the reference's `create_hstu_attention` factory
+(examples/hstu/modules/hstu_attention.py:317) with two backends:
+  - PALLAS: the Pallas TPU varlen kernel (ops/pallas/hstu_attention.py)
+  - JNP:    dense-padded jnp reference (ops/hstu_attention_ref.py) — the
+            correctness twin, also used on CPU test meshes.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from recsys_examples_tpu.modules.config import HSTUConfig, KernelBackend
+from recsys_examples_tpu.ops.hstu_attention_ref import hstu_mha_reference
+from recsys_examples_tpu.ops.pallas.hstu_attention import hstu_attn_varlen
+
+AttentionFn = Callable[..., jax.Array]
+
+
+def create_hstu_attention(config: HSTUConfig) -> AttentionFn:
+    backend = config.kernel_backend
+
+    def attn(
+        q: jax.Array,           # [T, H_local, D]
+        k: jax.Array,
+        v: jax.Array,
+        seq_offsets: jax.Array,
+        max_seqlen: int,
+        *,
+        num_contextuals: Optional[jax.Array] = None,
+        num_targets: Optional[jax.Array] = None,
+        scaling_seqlen: int = -1,
+    ) -> jax.Array:
+        alpha = 1.0 / (config.kv_channels ** 0.5)
+        if backend == KernelBackend.PALLAS:
+            return hstu_attn_varlen(
+                q, k, v,
+                (seq_offsets, num_contextuals, num_targets),
+                max_seqlen=max_seqlen,
+                alpha=alpha,
+                scaling_seqlen=scaling_seqlen,
+                causal=config.is_causal,
+                target_group_size=config.target_group_size,
+                max_attn_len=config.max_attn_len,
+                block_q=config.attn_block_q,
+                block_k=config.attn_block_k,
+            )
+        out = hstu_mha_reference(
+            max_seqlen, alpha, q, k, v, seq_offsets,
+            causal=config.is_causal,
+            num_targets=num_targets,
+            num_contextuals=num_contextuals,
+            max_attn_len=config.max_attn_len,
+            target_group_size=config.target_group_size,
+            scaling_seqlen=scaling_seqlen,
+        )
+        return out.astype(v.dtype)
+
+    return attn

@@ -1,0 +1,120 @@
+"""HSTU layer: LN -> uvqk projection -> SiLU -> attention -> LN*u*dropout
+-> output projection -> residual.
+
+TPU-native re-design of the reference layer (examples/hstu/modules/
+native_hstu_layer.py:41 `HSTULayer`). Tensor parallelism is expressed with
+parameter partitioning metadata (`nn.with_partitioning` on the "model" mesh
+axis) + XLA GSPMD instead of explicit Megatron Column/RowParallelLinear
+collectives: the uvqk kernel is column-sharded per head-group, the output
+projection row-sharded, and XLA inserts the all-reduce.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recsys_examples_tpu.jagged.jagged_tensor import JaggedData
+from recsys_examples_tpu.modules.config import HSTUConfig
+from recsys_examples_tpu.modules.hstu_attention import create_hstu_attention
+
+# mesh axis used for tensor parallelism
+MODEL_AXIS = "model"
+
+
+def _dense(features, *, use_bias, kernel_axes, name, dtype):
+    kernel_init = nn.with_partitioning(
+        nn.initializers.lecun_normal(), kernel_axes
+    )
+    bias_axes = (kernel_axes[1],)
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=kernel_init,
+        bias_init=nn.with_partitioning(nn.initializers.zeros_init(), bias_axes)
+        if use_bias
+        else nn.initializers.zeros_init(),
+        name=name,
+    )
+
+
+class HSTULayer(nn.Module):
+    """One HSTU block unit. Input/output: JaggedData with values [T, D]."""
+
+    config: HSTUConfig
+
+    @nn.compact
+    def __call__(self, jd: JaggedData, train: bool = True) -> JaggedData:
+        cfg = self.config
+        H = cfg.num_attention_heads
+        dh = cfg.kv_channels
+        D = cfg.hidden_size
+        x = jd.values  # [T, D]
+
+        # ---- input layernorm (fp32 stats)
+        normed = nn.LayerNorm(
+            epsilon=cfg.layernorm_epsilon,
+            use_bias=cfg.learnable_input_layernorm,
+            use_scale=cfg.learnable_input_layernorm,
+            dtype=cfg.dtype,
+            name="input_layernorm",
+        )(x)
+
+        # ---- fused uvqk projection. Column layout groups per head:
+        # [head0: u v q k | head1: u v q k | ...] so TP shards by head.
+        uvqk = _dense(
+            4 * H * dh,
+            use_bias=cfg.add_uvqk_bias,
+            kernel_axes=(None, MODEL_AXIS),
+            name="linear_uvqk",
+            dtype=cfg.dtype,
+        )(normed)
+        uvqk = nn.silu(uvqk)
+        uvqk = uvqk.reshape(-1, H, 4 * dh)
+        u = uvqk[..., 0 * dh:1 * dh].reshape(-1, H * dh)
+        v = uvqk[..., 1 * dh:2 * dh]
+        q = uvqk[..., 2 * dh:3 * dh]
+        k = uvqk[..., 3 * dh:4 * dh]
+
+        # ---- jagged SiLU attention
+        attn_fn = create_hstu_attention(cfg)
+        attn_out = attn_fn(
+            q, k, v,
+            jd.seqlen_offsets,
+            jd.max_seqlen,
+            num_contextuals=None
+            if cfg.disable_contextual_mask
+            else jd.contextual_seqlen,
+            num_targets=jd.num_candidates,
+            scaling_seqlen=jd.scaling_seqlen
+            if jd.scaling_seqlen > 0
+            else jd.max_seqlen,
+        )  # [T, H, dh]
+        attn_out = attn_out.reshape(-1, H * dh)
+
+        # ---- output layernorm * u, dropout
+        y = nn.LayerNorm(
+            epsilon=cfg.layernorm_epsilon,
+            use_bias=cfg.learnable_output_layernorm,
+            use_scale=cfg.learnable_output_layernorm,
+            dtype=cfg.dtype,
+            name="output_layernorm",
+        )(attn_out)
+        y = y * u
+        if cfg.hidden_dropout > 0.0:
+            y = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(y)
+
+        # ---- output projection (+ residual)
+        out = _dense(
+            D,
+            use_bias=False,
+            kernel_axes=(MODEL_AXIS, None),
+            name="linear_proj",
+            dtype=cfg.dtype,
+        )(y)
+        if cfg.residual:
+            out = out + x
+        return jd.replace(values=out)

@@ -1,0 +1,81 @@
+"""HSTU positional (+ timestamp) encoder.
+
+Semantics mirror the reference (examples/hstu/modules/position_encoder.py:71
+`HSTUPositionalEncoder`; index math: examples/hstu/ops/triton_ops/
+triton_position.py — position index of token i within its sequence is
+`min(i, high_ind)` where `high_ind = clamp(seqlen - num_targets,
+max=num_buckets-1)`; embedding added to `x * sqrt(dim)`).
+
+On TPU this is a plain masked gather-add — XLA fuses it; no kernel needed.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recsys_examples_tpu.ops.jagged import row_to_batch
+
+
+class HSTUPositionalEncoder(nn.Module):
+    num_position_buckets: int
+    num_time_buckets: int
+    embedding_dim: int
+    use_time_encoding: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        seq_embeddings: jax.Array,   # [T, D]
+        seq_lengths: jax.Array,      # [B]
+        seq_offsets: jax.Array,      # [B+1]
+        num_targets: Optional[jax.Array] = None,
+        seq_timestamps: Optional[jax.Array] = None,  # [T]
+        seq_start_position: Optional[jax.Array] = None,  # [B]
+    ) -> jax.Array:
+        T, D = seq_embeddings.shape
+        pos_w = self.param(
+            "position_embeddings",
+            nn.initializers.uniform(scale=2.0 / (self.num_position_buckets ** 0.5)),
+            (self.num_position_buckets, D),
+        )
+        # uniform(-a, a): flax uniform is [0, scale); shift to be symmetric
+        pos_w = pos_w - 1.0 / (self.num_position_buckets ** 0.5)
+
+        alpha = self.embedding_dim ** 0.5
+        b = row_to_batch(seq_offsets, T)
+        pos = jnp.arange(T, dtype=jnp.int32) - seq_offsets[b].astype(jnp.int32)
+        high = seq_lengths.astype(jnp.int32)
+        if num_targets is not None:
+            high = high - num_targets.astype(jnp.int32)
+        high = jnp.clip(high, 0, self.num_position_buckets - 1)
+        if seq_start_position is not None:
+            pos = pos + seq_start_position.astype(jnp.int32)[b]
+        idx = jnp.minimum(pos, high[b])
+        out = seq_embeddings * alpha + pos_w[idx].astype(seq_embeddings.dtype)
+
+        if self.use_time_encoding:
+            ts_w = self.param(
+                "timestamp_embeddings",
+                nn.initializers.uniform(scale=2.0 / (self.num_time_buckets ** 0.5)),
+                (self.num_time_buckets + 1, D),
+            )
+            ts_w = ts_w - 1.0 / (self.num_time_buckets ** 0.5)
+            if seq_timestamps is None:
+                raise ValueError("use_time_encoding requires seq_timestamps")
+            # sqrt bucketization of time deltas vs the sequence's last event
+            last_idx = jnp.clip(
+                seq_offsets[b + 1].astype(jnp.int32) - 1, 0, T - 1
+            )
+            delta = jnp.maximum(
+                seq_timestamps[last_idx] - seq_timestamps, 0
+            ).astype(jnp.float32)
+            bucket = jnp.sqrt(delta).astype(jnp.int32)
+            bucket = jnp.clip(bucket, 0, self.num_time_buckets)
+            out = out + ts_w[bucket].astype(seq_embeddings.dtype)
+
+        total = seq_offsets[-1]
+        valid = (jnp.arange(T, dtype=jnp.int32) < total)[:, None]
+        return jnp.where(valid, out, jnp.zeros((), out.dtype))

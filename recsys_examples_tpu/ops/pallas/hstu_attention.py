@@ -1,0 +1,673 @@
+"""Pallas TPU varlen HSTU (SiLU) attention — forward + backward.
+
+TPU-native replacement for the reference CUTLASS/Triton HSTU attention
+kernels (contract: corelib/hstu/hstu_attn/hstu_attn_interface.py:185
+`hstu_attn_varlen_func`; semantics twin: examples/hstu/ops/pt_ops/
+pt_hstu_attention.py:150).
+
+Design (TPU-first, not a port):
+  - Near-varlen "block-aligned jagged" layout: sequences are packed
+    back-to-back with each sequence start rounded up to the tile size
+    (<= tile-1 wasted rows per sequence, vs B*N-sum(n) for dense padding).
+    TPU DMA requires tile-aligned base rows, so true unaligned varlen is
+    not expressible; this layout keeps FLOPs ~ sum_i(n_i * extent_i) while
+    satisfying Mosaic's alignment rules. The wrapper relayouts from the
+    packed [T, H, D] jagged layout with one gather each way.
+  - Grid (B, num_q_blocks): each instance owns one q tile across ALL heads
+    (K/V DMA amortized over heads); an inner fori_loop streams K/V tiles
+    with double buffering from HBM into VMEM scratch.
+  - SiLU attention (no softmax -> no running max/denominator state):
+        P = silu(q k^T * alpha) / scaling_seqlen * mask;  out = P v
+  - Mask zoo evaluated on the VPU per (q-tile, k-tile): causal/non-causal,
+    contextual collapse (position ids clamp to 0), target-group purge,
+    local window (+ min_full tail), plus row/col < n guards.
+  - Causal q tiles only visit K/V up to the diagonal (contextual rows force
+    a full-extent visit for the first tiles); empty tiles are skipped.
+  - fp32 accumulation; output dtype follows v.
+  - Backward = two kernels (dq over q tiles; dk/dv over k tiles),
+    recomputing scores on the fly — SiLU attention has no softmax stats,
+    so recompute is cheap and no residual beyond q/k/v is needed.
+
+Not yet implemented vs the reference contract: rab/drab (relative
+attention bias) and FP8 quantization modes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEF_BLOCK_Q = 128
+DEF_BLOCK_K = 128
+
+
+def _silu_f32(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _dsilu_f32(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _cdiv(a, b):
+    return (a + b - 1) // b
+
+
+def _compute_mask(
+    row_pos, col_pos, n, c, t,
+    *, causal, has_context, has_targets,
+    target_group_size, max_attn_len, min_full_attn_seq_len,
+):
+    """[BQ, BK] fp32 validity mask (semantics of reference
+    `_get_valid_attn_mask`, pt_hstu_attention.py:46, + in-sequence
+    guards for the packed layout)."""
+    row_ids = jnp.maximum(row_pos - c + 1, 0)
+    col_ids = jnp.maximum(col_pos - c + 1, 0)
+    dist = row_ids - col_ids
+    if not causal:
+        dist = jnp.abs(dist)
+    valid = jnp.logical_or(row_pos == col_pos, dist > 0)
+
+    max_id = n - c + 1
+    hist_max_id = max_id
+    if has_targets:
+        g = target_group_size
+        tg_row = jnp.maximum(row_ids - max_id + t, -1) // g
+        tg_col = jnp.maximum(col_ids - max_id + t, -1) // g
+        ok = jnp.logical_or(
+            tg_row == tg_col, jnp.logical_or(tg_row < 0, tg_col < 0)
+        )
+        valid = jnp.logical_and(valid, ok)
+        hist_max_id = max_id - t
+
+    if max_attn_len > 0:
+        if min_full_attn_seq_len > 0:
+            valid = jnp.logical_and(
+                valid,
+                jnp.logical_or(
+                    dist <= max_attn_len,
+                    row_ids >= hist_max_id - min_full_attn_seq_len,
+                ),
+            )
+        else:
+            valid = jnp.logical_and(valid, dist <= max_attn_len)
+
+    if has_context:
+        valid = jnp.logical_or(
+            valid, jnp.logical_and(row_ids == 0, col_ids < hist_max_id)
+        )
+
+    valid = jnp.logical_and(valid, row_pos < n)
+    valid = jnp.logical_and(valid, col_pos < n)
+    return valid.astype(jnp.float32)
+
+
+def _kv_extent(q_lo, n, c, BQ, *, causal, has_context):
+    """How far into K/V this q tile must look."""
+    if not causal:
+        return n
+    causal_end = jnp.minimum(n, q_lo + BQ)
+    if has_context:
+        return jnp.where(q_lo < c, n, causal_end)
+    return causal_end
+
+
+def _read_meta(meta_ref, b, B, has_context, has_targets):
+    off = meta_ref[b]
+    n = meta_ref[B + b]
+    c = meta_ref[2 * B + b] if has_context else jnp.int32(0)
+    t = meta_ref[3 * B + b] if has_targets else jnp.int32(0)
+    return off, n, c, t
+
+
+def _fwd_kernel(
+    meta_ref,
+    q_hbm, k_hbm, v_hbm,
+    o_hbm,
+    q_buf, k_buf, v_buf, o_buf, acc_ref,
+    sem,
+    *, B, H, D, V, BQ, BK,
+    alpha, inv_scaling, causal, has_context, has_targets,
+    target_group_size, max_attn_len, min_full_attn_seq_len,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
+    q_lo = qi * BQ
+
+    @pl.when(q_lo < n)
+    def _work():
+        s = pl.multiple_of(off + q_lo, BQ)
+        q_dma = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[0])
+        q_dma.start()
+
+        kv_end = _kv_extent(q_lo, n, c, BQ, causal=causal, has_context=has_context)
+        num_kb = _cdiv(kv_end, BK)
+
+        def kv_dma(slot, kj):
+            ks = pl.multiple_of(off + kj * BK, BK)
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[1 + slot]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[3 + slot]
+                ),
+            )
+
+        dk0, dv0 = kv_dma(0, 0)
+        dk0.start()
+        dv0.start()
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q_dma.wait()
+        qf = q_buf[:]
+        row_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+
+        def body(kj, _):
+            slot = jax.lax.rem(kj, 2)
+
+            @pl.when(kj + 1 < num_kb)
+            def _():
+                a, bb = kv_dma(jax.lax.rem(kj + 1, 2), kj + 1)
+                a.start()
+                bb.start()
+
+            dkc, dvc = kv_dma(slot, kj)
+            dkc.wait()
+            dvc.wait()
+
+            col_pos = kj * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+            mask = _compute_mask(
+                row_pos, col_pos, n, c, t,
+                causal=causal, has_context=has_context, has_targets=has_targets,
+                target_group_size=target_group_size, max_attn_len=max_attn_len,
+                min_full_attn_seq_len=min_full_attn_seq_len,
+            )
+            kf = k_buf[slot]
+            vf = v_buf[slot]
+            for h in range(H):
+                sc = jax.lax.dot_general(
+                    qf[:, h * D:(h + 1) * D], kf[:, h * D:(h + 1) * D],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * alpha
+                p = _silu_f32(sc) * inv_scaling * mask
+                acc_ref[:, h * V:(h + 1) * V] += jax.lax.dot_general(
+                    p.astype(vf.dtype), vf[:, h * V:(h + 1) * V],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, num_kb, body, 0, unroll=False)
+        o_buf[:] = acc_ref[:].astype(o_buf.dtype)
+        o_dma = pltpu.make_async_copy(o_buf, o_hbm.at[pl.ds(s, BQ)], sem.at[5])
+        o_dma.start()
+        o_dma.wait()
+
+
+def _bwd_dq_kernel(
+    meta_ref,
+    q_hbm, k_hbm, v_hbm, do_hbm,
+    dq_hbm,
+    q_buf, do_buf, k_buf, v_buf, dq_buf, acc_ref,
+    sem,
+    *, B, H, D, V, BQ, BK,
+    alpha, inv_scaling, causal, has_context, has_targets,
+    target_group_size, max_attn_len, min_full_attn_seq_len,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
+    q_lo = qi * BQ
+
+    @pl.when(q_lo < n)
+    def _work():
+        s = pl.multiple_of(off + q_lo, BQ)
+        d1 = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[0])
+        d2 = pltpu.make_async_copy(do_hbm.at[pl.ds(s, BQ)], do_buf, sem.at[1])
+        d1.start()
+        d2.start()
+
+        kv_end = _kv_extent(q_lo, n, c, BQ, causal=causal, has_context=has_context)
+        num_kb = _cdiv(kv_end, BK)
+
+        def kv_dma(slot, kj):
+            ks = pl.multiple_of(off + kj * BK, BK)
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[2 + slot]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[4 + slot]
+                ),
+            )
+
+        a0, b0 = kv_dma(0, 0)
+        a0.start()
+        b0.start()
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        d1.wait()
+        d2.wait()
+        qf = q_buf[:].astype(jnp.float32)
+        dof = do_buf[:].astype(jnp.float32)
+        row_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+
+        def body(kj, _):
+            slot = jax.lax.rem(kj, 2)
+
+            @pl.when(kj + 1 < num_kb)
+            def _():
+                a, bb = kv_dma(jax.lax.rem(kj + 1, 2), kj + 1)
+                a.start()
+                bb.start()
+
+            dkc, dvc = kv_dma(slot, kj)
+            dkc.wait()
+            dvc.wait()
+            col_pos = kj * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+            mask = _compute_mask(
+                row_pos, col_pos, n, c, t,
+                causal=causal, has_context=has_context, has_targets=has_targets,
+                target_group_size=target_group_size, max_attn_len=max_attn_len,
+                min_full_attn_seq_len=min_full_attn_seq_len,
+            )
+            kf = k_buf[slot].astype(jnp.float32)
+            vf = v_buf[slot].astype(jnp.float32)
+            for h in range(H):
+                hd = slice(h * D, (h + 1) * D)
+                hv = slice(h * V, (h + 1) * V)
+                sc = jax.lax.dot_general(
+                    qf[:, hd], kf[:, hd],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * alpha
+                dp = jax.lax.dot_general(
+                    dof[:, hv], vf[:, hv],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = dp * _dsilu_f32(sc) * (inv_scaling * alpha) * mask
+                acc_ref[:, hd] += jax.lax.dot_general(
+                    ds, kf[:, hd],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, num_kb, body, 0, unroll=False)
+        dq_buf[:] = acc_ref[:].astype(dq_buf.dtype)
+        d = pltpu.make_async_copy(dq_buf, dq_hbm.at[pl.ds(s, BQ)], sem.at[0])
+        d.start()
+        d.wait()
+
+
+def _bwd_dkv_kernel(
+    meta_ref,
+    q_hbm, k_hbm, v_hbm, do_hbm,
+    dk_hbm, dv_hbm,
+    k_buf, v_buf, q_buf, do_buf, dk_buf, dv_buf, acck_ref, accv_ref,
+    sem,
+    *, B, H, D, V, BQ, BK,
+    alpha, inv_scaling, causal, has_context, has_targets,
+    target_group_size, max_attn_len, min_full_attn_seq_len,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(1)
+    off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
+    k_lo = ki * BK
+
+    @pl.when(k_lo < n)
+    def _work():
+        s = pl.multiple_of(off + k_lo, BK)
+        d1 = pltpu.make_async_copy(k_hbm.at[pl.ds(s, BK)], k_buf, sem.at[0])
+        d2 = pltpu.make_async_copy(v_hbm.at[pl.ds(s, BK)], v_buf, sem.at[1])
+        d1.start()
+        d2.start()
+
+        # first q tile that can see this k tile (causal skip); contextual
+        # rows live in the first tiles and see everything, so start at 0.
+        if causal and not has_context:
+            q_start_blk = k_lo // BQ
+        else:
+            q_start_blk = jnp.int32(0)
+        num_qb = _cdiv(n, BQ)
+
+        def q_dma(slot, qj):
+            qs = pl.multiple_of(off + qj * BQ, BQ)
+            return (
+                pltpu.make_async_copy(
+                    q_hbm.at[pl.ds(qs, BQ)], q_buf.at[slot], sem.at[2 + slot]
+                ),
+                pltpu.make_async_copy(
+                    do_hbm.at[pl.ds(qs, BQ)], do_buf.at[slot], sem.at[4 + slot]
+                ),
+            )
+
+        a0, b0 = q_dma(0, q_start_blk)
+        a0.start()
+        b0.start()
+        acck_ref[:] = jnp.zeros_like(acck_ref)
+        accv_ref[:] = jnp.zeros_like(accv_ref)
+        d1.wait()
+        d2.wait()
+        kf = k_buf[:].astype(jnp.float32)
+        vf = v_buf[:].astype(jnp.float32)
+        col_pos = k_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+
+        def body(idx, _):
+            qj = q_start_blk + idx
+            slot = jax.lax.rem(idx, 2)
+
+            @pl.when(qj + 1 < num_qb)
+            def _():
+                a, bb = q_dma(jax.lax.rem(idx + 1, 2), qj + 1)
+                a.start()
+                bb.start()
+
+            ac, bc = q_dma(slot, qj)
+            ac.wait()
+            bc.wait()
+            row_pos = qj * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+            mask = _compute_mask(
+                row_pos, col_pos, n, c, t,
+                causal=causal, has_context=has_context, has_targets=has_targets,
+                target_group_size=target_group_size, max_attn_len=max_attn_len,
+                min_full_attn_seq_len=min_full_attn_seq_len,
+            )
+            qf = q_buf[slot].astype(jnp.float32)
+            dof = do_buf[slot].astype(jnp.float32)
+            for h in range(H):
+                hd = slice(h * D, (h + 1) * D)
+                hv = slice(h * V, (h + 1) * V)
+                sc = jax.lax.dot_general(
+                    qf[:, hd], kf[:, hd],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * alpha
+                p = _silu_f32(sc) * inv_scaling * mask
+                accv_ref[:, hv] += jax.lax.dot_general(
+                    p, dof[:, hv],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    dof[:, hv], vf[:, hv],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = dp * _dsilu_f32(sc) * (inv_scaling * alpha) * mask
+                acck_ref[:, hd] += jax.lax.dot_general(
+                    ds, qf[:, hd],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, num_qb - q_start_blk, body, 0, unroll=False)
+        dk_buf[:] = acck_ref[:].astype(dk_buf.dtype)
+        dv_buf[:] = accv_ref[:].astype(dv_buf.dtype)
+        w1 = pltpu.make_async_copy(dk_buf, dk_hbm.at[pl.ds(s, BK)], sem.at[0])
+        w2 = pltpu.make_async_copy(dv_buf, dv_hbm.at[pl.ds(s, BK)], sem.at[1])
+        w1.start()
+        w2.start()
+        w1.wait()
+        w2.wait()
+
+
+# ------------------------------------------------------------------ wrapper
+
+
+class _Layout:
+    """Packed [T] <-> block-aligned [T_al] jagged layouts.
+
+    Aligned layout: sequence b occupies rows
+    [aligned_offsets[b], aligned_offsets[b] + len_b) where
+    aligned_offsets[b] is a multiple of `align`. Static capacity
+    T_al = T + B * align.
+    """
+
+    def __init__(self, seq_offsets, T, align):
+        self.T = T
+        self.align = align
+        B = seq_offsets.shape[0] - 1
+        self.T_al = T + B * align
+        lengths = (seq_offsets[1:] - seq_offsets[:-1]).astype(jnp.int32)
+        self.lengths = lengths
+        aligned_len = ((lengths + align - 1) // align) * align
+        self.aligned_offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_len)]
+        )
+        self.seq_offsets = seq_offsets.astype(jnp.int32)
+
+        def r2b(offs, total):
+            tt = jnp.arange(total, dtype=jnp.int32)
+            bb = jnp.searchsorted(offs, tt, side="right") - 1
+            return jnp.clip(bb, 0, B - 1)
+
+        # aligned row -> packed source row (+ validity)
+        b_al = r2b(self.aligned_offsets, self.T_al)
+        pos_al = jnp.arange(self.T_al, dtype=jnp.int32) - self.aligned_offsets[b_al]
+        self._to_al_src = jnp.clip(self.seq_offsets[b_al] + pos_al, 0, T - 1)
+        self._to_al_valid = pos_al < lengths[b_al]
+        # packed row -> aligned source row (+ validity)
+        b_p = r2b(self.seq_offsets, T)
+        pos_p = jnp.arange(T, dtype=jnp.int32) - self.seq_offsets[b_p]
+        self._to_p_src = jnp.clip(
+            self.aligned_offsets[b_p] + pos_p, 0, self.T_al - 1
+        )
+        self._to_p_valid = (
+            jnp.arange(T, dtype=jnp.int32) < self.seq_offsets[-1]
+        )
+
+    def to_aligned(self, x2d):
+        out = x2d[self._to_al_src]
+        return jnp.where(
+            self._to_al_valid[:, None], out, jnp.zeros((), x2d.dtype)
+        )
+
+    def to_packed(self, x2d_al):
+        out = x2d_al[self._to_p_src]
+        return jnp.where(
+            self._to_p_valid[:, None], out, jnp.zeros((), x2d_al.dtype)
+        )
+
+    def meta(self, num_contextuals, num_targets):
+        B = self.lengths.shape[0]
+        z = jnp.zeros((B,), jnp.int32)
+        return jnp.concatenate([
+            self.aligned_offsets[:-1],
+            self.lengths,
+            z if num_contextuals is None else num_contextuals.astype(jnp.int32),
+            z if num_targets is None else num_targets.astype(jnp.int32),
+        ])
+
+
+def _hstu_fwd_impl(
+    q, k, v, aux, max_seqlen, alpha, scaling_seqlen, causal,
+    target_group_size, max_attn_len, min_full_attn_seq_len,
+    block_q, block_k, interpret,
+):
+    seq_offsets, num_contextuals, num_targets = aux
+    T, H, D = q.shape
+    V = v.shape[2]
+    B = seq_offsets.shape[0] - 1
+    if scaling_seqlen == -1:
+        scaling_seqlen = max_seqlen
+    BQ, BK = block_q, block_k
+    NQ = pl.cdiv(max_seqlen, BQ)
+    lay = _Layout(seq_offsets, T, max(BQ, BK))
+    meta = lay.meta(num_contextuals, num_targets)
+    qa = lay.to_aligned(q.reshape(T, H * D))
+    ka = lay.to_aligned(k.reshape(T, H * D))
+    va = lay.to_aligned(v.reshape(T, H * V))
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK,
+        alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
+        causal=causal,
+        has_context=num_contextuals is not None,
+        has_targets=num_targets is not None,
+        target_group_size=target_group_size,
+        max_attn_len=max_attn_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, NQ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((BQ, H * D), q.dtype),
+                pltpu.VMEM((2, BK, H * D), k.dtype),
+                pltpu.VMEM((2, BK, H * V), v.dtype),
+                pltpu.VMEM((BQ, H * V), v.dtype),
+                pltpu.VMEM((BQ, H * V), jnp.float32),
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, qa, ka, va)
+    return lay.to_packed(out).reshape(T, H, V)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(4, 14)))
+def hstu_attn_varlen(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    aux,  # (seq_offsets [B+1], num_contextuals [B]|None, num_targets [B]|None)
+    max_seqlen: int = 0,
+    alpha: float = 1.0,
+    scaling_seqlen: int = -1,
+    causal: bool = True,
+    target_group_size: int = 1,
+    max_attn_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+    block_q: int = DEF_BLOCK_Q,
+    block_k: int = DEF_BLOCK_K,
+    interpret: bool = False,
+):
+    """Jagged varlen HSTU attention: q,k [T,H,D], v [T,H,V] -> [T,H,V]."""
+    return _hstu_fwd_impl(
+        q, k, v, aux, max_seqlen, alpha, scaling_seqlen, causal,
+        target_group_size, max_attn_len, min_full_attn_seq_len,
+        block_q, block_k, interpret,
+    )
+
+
+def _vjp_fwd(
+    q, k, v, aux,
+    max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
+    max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+):
+    out = _hstu_fwd_impl(
+        q, k, v, aux, max_seqlen, alpha, scaling_seqlen, causal,
+        target_group_size, max_attn_len, min_full_attn_seq_len,
+        block_q, block_k, interpret,
+    )
+    return out, (q, k, v, aux)
+
+
+def _vjp_bwd(
+    max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
+    max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+    residuals, g,
+):
+    q, k, v, aux = residuals
+    seq_offsets, num_contextuals, num_targets = aux
+    T, H, D = q.shape
+    V = v.shape[2]
+    B = seq_offsets.shape[0] - 1
+    if scaling_seqlen == -1:
+        scaling_seqlen = max_seqlen
+    BQ, BK = block_q, block_k
+    lay = _Layout(seq_offsets, T, max(BQ, BK))
+    meta = lay.meta(num_contextuals, num_targets)
+    qa = lay.to_aligned(q.reshape(T, H * D))
+    ka = lay.to_aligned(k.reshape(T, H * D))
+    va = lay.to_aligned(v.reshape(T, H * V))
+    ga = lay.to_aligned(g.astype(v.dtype).reshape(T, H * V))
+    common = dict(
+        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK,
+        alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
+        causal=causal,
+        has_context=num_contextuals is not None,
+        has_targets=num_targets is not None,
+        target_group_size=target_group_size,
+        max_attn_len=max_attn_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+    )
+    NQ = pl.cdiv(max_seqlen, BQ)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, NQ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((BQ, H * D), q.dtype),
+                pltpu.VMEM((BQ, H * V), v.dtype),
+                pltpu.VMEM((2, BK, H * D), k.dtype),
+                pltpu.VMEM((2, BK, H * V), v.dtype),
+                pltpu.VMEM((BQ, H * D), q.dtype),
+                pltpu.VMEM((BQ, H * D), jnp.float32),
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((lay.T_al, H * D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, qa, ka, va, ga)
+    dq = lay.to_packed(dq).reshape(T, H, D)
+
+    NK = pl.cdiv(max_seqlen, BK)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, NK),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((BK, H * D), k.dtype),
+                pltpu.VMEM((BK, H * V), v.dtype),
+                pltpu.VMEM((2, BQ, H * D), q.dtype),
+                pltpu.VMEM((2, BQ, H * V), v.dtype),
+                pltpu.VMEM((BK, H * D), k.dtype),
+                pltpu.VMEM((BK, H * V), v.dtype),
+                pltpu.VMEM((BK, H * D), jnp.float32),
+                pltpu.VMEM((BK, H * V), jnp.float32),
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((lay.T_al, H * D), k.dtype),
+            jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(meta, qa, ka, va, ga)
+    dk = lay.to_packed(dk).reshape(T, H, D)
+    dv = lay.to_packed(dv).reshape(T, H, V)
+    return dq, dk, dv, None
+
+
+hstu_attn_varlen.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,60 @@
+"""Device mesh + parameter sharding helpers.
+
+Replaces the reference's NCCL/Megatron/TorchRec process-group plumbing
+(examples/commons/utils/initialize.py:60 `initialize_model_parallel`) with a
+single `jax.sharding.Mesh` over ("data", "model"):
+
+  - dense params: replicated over "data", TP-sharded over "model" via flax
+    `nn.with_partitioning` metadata -> GSPMD inserts the collectives.
+  - dynamic embedding tables: row-sharded over "data" (manual shard_map
+    all-to-all exchange in dynamicemb/sharded_collection.py).
+  - batch arrays: leading (flattened-token / batch) dims sharded over
+    "data"; sequences never cross shard boundaries by construction.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    dp: int = -1, tp: int = 1, devices=None
+) -> Mesh:
+    """Mesh of shape (dp, tp) with axes ("data", "model").
+
+    dp=-1 uses all remaining devices.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp == -1:
+        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+        dp = n // tp
+    assert dp * tp == n, f"dp*tp={dp * tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_shardings(mesh: Mesh, abstract_params):
+    """NamedShardings from flax nn.with_partitioning metadata."""
+    import flax.linen as nn
+
+    specs = nn.get_partition_spec(abstract_params)
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

@@ -1,0 +1,256 @@
+"""HSTU ranking pretraining entry point.
+
+Counterpart of the reference entry
+(examples/hstu/training/pretrain_gr_ranking.py:76): gin config -> mesh ->
+dataloader -> model -> trainer -> jitted train loop with watchdog, MFU
+logging, periodic eval (AUC) and checkpointing.
+
+Usage:
+    python -m recsys_examples_tpu.training.pretrain_gr_ranking \
+        --gin-config-file configs/ranking_random.gin \
+        [--max-train-iters N]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_examples_tpu.data.hstu_batch import random_hstu_batch
+from recsys_examples_tpu.dynamicemb.batched_table import DynamicEmbeddingTable
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import (
+    DynamicEmbScoreStrategy,
+    DynamicEmbTableOptions,
+)
+from recsys_examples_tpu.dynamicemb.optimizer import SparseOptimizerArgs
+from recsys_examples_tpu.dynamicemb.sharded_collection import (
+    ShardedDynamicEmbedding,
+)
+from recsys_examples_tpu.models.ranking_gr import RankingGR
+from recsys_examples_tpu.modules.config import (
+    EmbeddingConfig,
+    HSTUConfig,
+    KernelBackend,
+    PositionEncodingConfig,
+    RankingConfig,
+)
+from recsys_examples_tpu.modules.losses import decode_bits
+from recsys_examples_tpu.modules.metrics import (
+    AUCState,
+    auc_compute,
+    auc_update,
+)
+from recsys_examples_tpu.training import gin_args  # noqa: F401 (registers)
+from recsys_examples_tpu.training.checkpoint import save_checkpoint
+from recsys_examples_tpu.training.train_state import make_optimizer
+from recsys_examples_tpu.training.trainer import GRTrainer
+from recsys_examples_tpu.utils import gin_config
+from recsys_examples_tpu.utils.logger import StepTimer, print_rank_0
+from recsys_examples_tpu.utils.perf import device_peak_tflops, hstu_train_flops
+from recsys_examples_tpu.utils.watchdog import watched_iter
+
+
+def build_hstu_config(net, tp: int) -> HSTUConfig:
+    return HSTUConfig(
+        hidden_size=net.hidden_size,
+        num_layers=net.num_layers,
+        num_attention_heads=net.num_attention_heads,
+        kv_channels=net.kv_channels,
+        hidden_dropout=net.hidden_dropout,
+        kernel_backend=KernelBackend(net.kernel_backend),
+        dtype=jnp.bfloat16 if net.dtype == "bfloat16" else jnp.float32,
+        target_group_size=net.target_group_size,
+        max_attn_len=net.max_attn_len,
+        position_encoding_config=PositionEncodingConfig(
+            num_position_buckets=net.position_num_buckets,
+            use_time_encoding=net.use_time_encoding,
+        ),
+        recompute_layer=net.recompute_layer,
+        scaling_seqlen=net.scaling_seqlen,
+        tensor_model_parallel_size=tp,
+    )
+
+
+def batch_iterator(ds, trainer_args):
+    """Synthetic or file-backed batch stream (host-side, double-buffered by
+    the caller's async dispatch)."""
+    if ds.dataset_name == "random":
+        i = 0
+        while True:
+            yield random_hstu_batch(
+                seed=trainer_args.seed + i,
+                batch_size=ds.batch_size,
+                max_history_len=ds.max_history_len,
+                item_vocab=ds.item_vocab_size,
+                action_vocab=ds.action_vocab_size,
+                max_num_candidates=ds.max_num_candidates,
+                num_tasks=ds.num_tasks,
+            )
+            i += 1
+    else:
+        from recsys_examples_tpu.data.sequence_dataset import (
+            sequence_dataset_iterator,
+        )
+        yield from sequence_dataset_iterator(ds, trainer_args)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--gin-config-file", default=None)
+    p.add_argument("--max-train-iters", type=int, default=None)
+    args = p.parse_args(argv)
+    if args.gin_config_file:
+        gin_config.parse_config_file(args.gin_config_file)
+
+    trainer_args = gin_config.make("TrainerArgs")
+    if args.max_train_iters is not None:
+        import dataclasses
+        trainer_args = dataclasses.replace(
+            trainer_args, max_train_iters=args.max_train_iters
+        )
+    ds = gin_config.make("DatasetArgs")
+    net = gin_config.make("NetworkArgs")
+    opt = gin_config.make("OptimizerArgs")
+    demb = gin_config.make("DynamicEmbeddingArgs")
+    tpa = gin_config.make("TensorModelParallelArgs")
+    rank_args = gin_config.make("RankingArgs")
+
+    hstu_cfg = build_hstu_config(net, tpa.tensor_model_parallel_size)
+    task_cfg = RankingConfig(
+        embedding_configs=()
+        if demb.use_dynamic_embedding
+        else (
+            EmbeddingConfig(
+                ("item",), "item_table", ds.item_vocab_size, net.hidden_size
+            ),
+        ),
+        prediction_head_arch=tuple(rank_args.prediction_head_arch),
+        prediction_head_act_type=rank_args.prediction_head_act_type,
+        prediction_head_bias=rank_args.prediction_head_bias,
+        num_tasks=rank_args.num_tasks,
+        eval_metrics=tuple(rank_args.eval_metrics),
+    )
+
+    sparse = {}
+    if demb.use_dynamic_embedding:
+        table = DynamicEmbeddingTable(
+            DynamicEmbTableOptions(
+                embedding_dim=net.hidden_size,
+                max_capacity=demb.capacity,
+                bucket_capacity=demb.bucket_capacity,
+                score_strategy=DynamicEmbScoreStrategy(demb.score_strategy),
+                admission_threshold=demb.admission_threshold,
+            ),
+            SparseOptimizerArgs(
+                optimizer=demb.optimizer, learning_rate=demb.learning_rate
+            ),
+        )
+        sparse["item"] = ShardedDynamicEmbedding(table, mesh=None)
+        if ds.action_vocab_size > 0:
+            atable = DynamicEmbeddingTable(
+                DynamicEmbTableOptions(
+                    embedding_dim=net.hidden_size,
+                    max_capacity=1 << 12,
+                    bucket_capacity=demb.bucket_capacity,
+                ),
+                SparseOptimizerArgs(
+                    optimizer=demb.optimizer, learning_rate=demb.learning_rate
+                ),
+            )
+            sparse["action"] = ShardedDynamicEmbedding(atable, mesh=None)
+
+    model = RankingGR(hstu_cfg, task_cfg)
+    trainer = GRTrainer(
+        model,
+        make_optimizer(
+            opt.learning_rate, opt.optimizer_str, opt.adam_beta1,
+            opt.adam_beta2, opt.adam_eps, opt.weight_decay,
+        ),
+        sparse,
+    )
+
+    it = batch_iterator(ds, trainer_args)
+    first = next(it)
+    rng = jax.random.PRNGKey(trainer_args.seed)
+    state = trainer.init(rng, first)
+    step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
+    eval_fn = jax.jit(trainer.eval_step)
+
+    peak = device_peak_tflops()
+    timer = StepTimer()
+    print_rank_0(
+        f"start training: {trainer_args.max_train_iters} iters, "
+        f"backend={jax.default_backend()}"
+    )
+    losses = []
+    t_start = time.perf_counter()
+    for i, batch in enumerate(
+        watched_iter(it, timeout=trainer_args.watchdog_timeout_s)
+    ):
+        if i >= trainer_args.max_train_iters:
+            break
+        if trainer_args.profile and i == trainer_args.profile_step_start:
+            jax.profiler.start_trace("/tmp/rextpu_trace")
+        timer.start()
+        state, metrics = step_fn(state, batch, rng)
+        loss = float(metrics["loss"])
+        dt = timer.stop()
+        losses.append(loss)
+        if trainer_args.profile and i == trainer_args.profile_step_end:
+            jax.profiler.stop_trace()
+        if (i + 1) % trainer_args.log_interval == 0:
+            item_len = np.asarray(batch.features["item"].lengths)
+            fl = hstu_train_flops(
+                item_len * (2 if ds.action_vocab_size else 1),
+                net.hidden_size, net.num_attention_heads, net.kv_channels,
+                net.num_layers,
+            )
+            tflops = fl / dt / 1e12
+            print_rank_0(
+                f"iter {i + 1}: loss={np.mean(losses[-trainer_args.log_interval:]):.5f} "
+                f"step={dt * 1e3:.1f}ms tflops={tflops:.1f} "
+                f"mfu={100 * tflops / peak:.2f}%"
+            )
+        if (
+            trainer_args.ckpt_save_interval
+            and (i + 1) % trainer_args.ckpt_save_interval == 0
+        ):
+            save_checkpoint(
+                f"{trainer_args.ckpt_dir}/iter_{i + 1:07d}",
+                state, state.sparse,
+                {n: t.table for n, t in sparse.items()},
+            )
+        if trainer_args.eval_interval and (i + 1) % trainer_args.eval_interval == 0:
+            run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args)
+
+    total = time.perf_counter() - t_start
+    print_rank_0(f"done: {total:.1f}s, final loss {losses[-1]:.5f}")
+    run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args)
+    return state
+
+
+def run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args, iters=8):
+    num_tasks = rank_args.num_tasks
+    auc = AUCState.init(num_tasks)
+    for j in range(iters):
+        batch = random_hstu_batch(
+            seed=99991 + j,
+            batch_size=ds.batch_size,
+            max_history_len=ds.max_history_len,
+            item_vocab=ds.item_vocab_size,
+            action_vocab=ds.action_vocab_size,
+            max_num_candidates=ds.max_num_candidates,
+            num_tasks=ds.num_tasks,
+        )
+        loss, aux = eval_fn(state, batch)
+        labels01 = decode_bits(aux["labels"], num_tasks)
+        auc = auc_update(auc, aux["logits"], labels01, aux["valid"])
+    vals = np.asarray(auc_compute(auc))
+    print_rank_0("eval AUC: " + ", ".join(f"{v:.4f}" for v in vals))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""End-to-end model smoke tests on CPU (JNP attention backend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_examples_tpu.data.hstu_batch import random_hstu_batch
+from recsys_examples_tpu.modules.config import (
+    EmbeddingConfig,
+    HSTUConfig,
+    KernelBackend,
+    PositionEncodingConfig,
+    RankingConfig,
+    RetrievalConfig,
+)
+from recsys_examples_tpu.models.ranking_gr import RankingGR
+from recsys_examples_tpu.models.retrieval_gr import RetrievalGR
+from recsys_examples_tpu.training.train_state import (
+    TrainState,
+    make_optimizer,
+    make_train_step,
+)
+
+HSTU_CFG = HSTUConfig(
+    hidden_size=32,
+    num_layers=2,
+    num_attention_heads=2,
+    kv_channels=16,
+    hidden_dropout=0.1,
+    kernel_backend=KernelBackend.JNP,
+    dtype=jnp.float32,
+    position_encoding_config=PositionEncodingConfig(
+        num_position_buckets=64, num_time_buckets=16
+    ),
+)
+
+EMB = (
+    EmbeddingConfig(("item",), "item_table", vocab_size=100, dim=32),
+    EmbeddingConfig(("action",), "action_table", vocab_size=8, dim=32),
+    EmbeddingConfig(("user",), "user_table", vocab_size=20, dim=32),
+)
+
+
+def make_batch(candidates=True):
+    return random_hstu_batch(
+        seed=0,
+        batch_size=4,
+        max_history_len=16,
+        item_vocab=100,
+        action_vocab=8,
+        contextual_vocabs={"user": 20},
+        max_num_candidates=4 if candidates else 0,
+        num_tasks=2,
+    )
+
+
+def test_ranking_forward_and_step():
+    batch = make_batch(candidates=True)
+    cfg = RankingConfig(
+        embedding_configs=EMB, prediction_head_arch=(16, 2), num_tasks=2
+    )
+    model = RankingGR(HSTU_CFG, cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng}, batch, train=False
+    )["params"]
+    loss, aux = model.apply(
+        {"params": params}, batch, train=False
+    )
+    assert np.isfinite(float(loss))
+    # logits rows = candidate capacity (de-interleaved)
+    assert aux["logits"].shape == (4 * 4, 2)
+
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+    l0 = None
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        l = float(metrics["loss"])
+        assert np.isfinite(l)
+        if l0 is None:
+            l0 = l
+    assert float(metrics["loss"]) < l0 + 1e-3  # trending down on fixed batch
+
+
+def test_ranking_no_candidates():
+    batch = make_batch(candidates=False)
+    cfg = RankingConfig(
+        embedding_configs=EMB, prediction_head_arch=(16, 2), num_tasks=2
+    )
+    model = RankingGR(HSTU_CFG, cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, batch, train=False)[
+        "params"
+    ]
+    loss, aux = model.apply({"params": params}, batch, train=False)
+    assert np.isfinite(float(loss))
+
+
+def test_retrieval_forward_and_step():
+    batch = random_hstu_batch(
+        seed=1, batch_size=4, max_history_len=16, item_vocab=100,
+        action_vocab=8, num_tasks=1,
+    )
+    cfg = RetrievalConfig(embedding_configs=EMB[:2])
+    model = RetrievalGR(HSTU_CFG, cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, batch, train=False)[
+        "params"
+    ]
+    loss, aux = model.apply({"params": params}, batch, train=False)
+    assert np.isfinite(float(loss))
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+    state, m1 = step(state, batch, rng)
+    for _ in range(4):
+        state, m = step(state, batch, rng)
+    assert float(m["loss"]) < float(m1["loss"])

@@ -1,0 +1,89 @@
+"""Row-sharded dynamic embedding over an 8-device CPU mesh: the all-to-all
+id/embedding exchange must be equivalent to a single-device table."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_examples_tpu.dynamicemb.batched_table import DynamicEmbeddingTable
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import (
+    EMPTY_KEY,
+    DynamicEmbInitializerArgs,
+    DynamicEmbInitializerMode,
+    DynamicEmbTableOptions,
+)
+from recsys_examples_tpu.dynamicemb.optimizer import SparseOptimizerArgs
+from recsys_examples_tpu.dynamicemb.sharded_collection import (
+    ShardedDynamicEmbedding,
+)
+from recsys_examples_tpu.parallel.mesh import make_mesh
+
+
+def _table(world=1):
+    opts = DynamicEmbTableOptions(
+        embedding_dim=8,
+        max_capacity=1024,
+        bucket_capacity=8,
+        initializer_args=DynamicEmbInitializerArgs(
+            mode=DynamicEmbInitializerMode.DEBUG
+        ),
+    )
+    return DynamicEmbeddingTable(
+        opts, SparseOptimizerArgs(optimizer="sgd", learning_rate=0.5),
+        world_size=world,
+    )
+
+
+def test_sharded_matches_single_device():
+    mesh = make_mesh(dp=8, tp=1)
+    world = 8
+    sharded = ShardedDynamicEmbedding(_table(world), mesh)
+    single = ShardedDynamicEmbedding(_table(1), mesh=None)
+
+    st_sh = sharded.init_state()
+    st_si = single.init_state()
+
+    rng = np.random.default_rng(0)
+    ids_np = rng.integers(0, 500, size=(128,)).astype(np.int64)
+    ids = jnp.asarray(ids_np)
+
+    st_sh, emb_sh, res_sh = sharded.forward(st_sh, ids)
+    st_si, emb_si, res_si = single.forward(st_si, ids)
+    # debug initializer: value depends only on the key -> shard placement
+    # must not change results
+    np.testing.assert_allclose(
+        np.asarray(emb_sh), np.asarray(emb_si), rtol=1e-6
+    )
+    expect = np.tile((ids_np % 100000) / 100000.0, (8, 1)).T
+    np.testing.assert_allclose(np.asarray(emb_sh), expect, rtol=1e-5)
+
+    # backward: sgd update, then eval lookup must match single-device
+    g = jnp.asarray(rng.standard_normal((128, 8)).astype(np.float32))
+    st_sh = sharded.backward(st_sh, res_sh, g)
+    st_si = single.backward(st_si, res_si, g)
+
+    st_sh2, emb_sh2, _ = sharded.forward(st_sh, ids, train=False)
+    st_si2, emb_si2, _ = single.forward(st_si, ids, train=False)
+    np.testing.assert_allclose(
+        np.asarray(emb_sh2), np.asarray(emb_si2), rtol=1e-5, atol=1e-6
+    )
+    # grads for duplicated ids must be summed: emb changed from init
+    assert not np.allclose(np.asarray(emb_sh2), expect)
+
+
+def test_sharded_jit_train_step():
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = ShardedDynamicEmbedding(_table(8), mesh)
+    state = sharded.init_state()
+
+    @jax.jit
+    def step(state, ids):
+        state, emb, res = sharded.forward(state, ids)
+        loss_grad = jnp.ones_like(emb)
+        state = sharded.backward(state, res, loss_grad)
+        return state, emb.sum()
+
+    ids = jnp.arange(64, dtype=jnp.int64)
+    for _ in range(2):
+        state, s = step(state, ids)
+    assert np.isfinite(float(s))
