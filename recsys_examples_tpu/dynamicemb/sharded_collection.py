@@ -110,7 +110,7 @@ class ShardedDynamicEmbedding:
         )
         f = shard_map(
             init_local, mesh=self.mesh, in_specs=(), out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )
         return f()
 
@@ -135,7 +135,7 @@ class ShardedDynamicEmbedding:
             mesh=self.mesh,
             in_specs=(state_spec, P(self.axis)),
             out_specs=(state_spec, P(self.axis), res_spec),
-            check_rep=False,
+            check_vma=False,
         )
         return f(state, ids)
 
@@ -234,7 +234,7 @@ class ShardedDynamicEmbedding:
             mesh=self.mesh,
             in_specs=(state_spec, res_spec, P(self.axis)),
             out_specs=state_spec,
-            check_rep=False,
+            check_vma=False,
         )
         return f(state, res, grad_out)
 

@@ -1,0 +1,313 @@
+"""SID-GR: hierarchical semantic-ID generative recommender.
+
+Counterpart of the reference `SIDGRModel`
+(examples/sid_gr/model/gpt_model.py:186): per-hierarchy codebook
+embeddings, BOS token before the candidate, causal decoder, per-hierarchy
+(or shared) LM heads, CE loss on candidate SID tokens; `generate` (no-KV
+baseline re-running the prefix per hierarchy, gpt_model.py:681) and
+`generate_beam_decode` (prefill + context-KV + per-step beam attention,
+gpt_model.py:853) for inference.
+
+TPU layout: the decoder runs on padded dense [B, N, D] (SID sequences are
+short; XLA batched matmuls at near peak). Training sequence per sample:
+  [history SIDs ... , BOS, candidate SIDs[0..H-2]]
+with CE supervision at the positions predicting candidate SIDs[0..H-1].
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recsys_examples_tpu.data.sid_batch import SIDBatch
+from recsys_examples_tpu.models.beam_search import (
+    BeamState,
+    decode_paths,
+    first_expand,
+    gather_beams,
+    init_beam,
+    propagate,
+)
+from recsys_examples_tpu.modules.transformer import (
+    TransformerStack,
+    make_padded_causal_mask,
+)
+from recsys_examples_tpu.ops.jagged import jagged_to_padded_dense
+
+
+@dataclasses.dataclass(frozen=True)
+class SIDGRConfig:
+    num_hierarchies: int = 4
+    codebook_size: int = 256
+    hidden_size: int = 256
+    num_layers: int = 4
+    num_heads: int = 4
+    head_dim: int = 64
+    ffn_hidden: int = 1024
+    dropout: float = 0.0
+    share_lm_head: bool = False
+    share_codebook: bool = False
+    dtype: jnp.dtype = jnp.float32
+    beam_width: int = 32
+
+
+class SIDGRModel(nn.Module):
+    config: SIDGRConfig
+
+    def setup(self):
+        cfg = self.config
+        n_books = 1 if cfg.share_codebook else cfg.num_hierarchies
+        self.codebooks = [
+            nn.Embed(
+                cfg.codebook_size, cfg.hidden_size,
+                name=f"codebook_{i}",
+                embedding_init=nn.initializers.normal(
+                    1.0 / cfg.hidden_size ** 0.5
+                ),
+            )
+            for i in range(n_books)
+        ]
+        self.bos_token = self.param(
+            "bos_token", nn.initializers.normal(0.02), (cfg.hidden_size,)
+        )
+        self.decoder = TransformerStack(
+            cfg.num_layers, cfg.num_heads, cfg.head_dim, cfg.ffn_hidden,
+            cfg.dropout, cfg.dtype, name="decoder",
+        )
+        n_heads = 1 if cfg.share_lm_head else cfg.num_hierarchies
+        self.lm_heads = [
+            nn.Dense(cfg.codebook_size, dtype=jnp.float32, name=f"lm_head_{i}")
+            for i in range(n_heads)
+        ]
+
+    # ------------------------------------------------------------ embed
+    def _book(self, h: int):
+        return self.codebooks[0 if self.config.share_codebook else h]
+
+    def _head(self, h: int):
+        return self.lm_heads[0 if self.config.share_lm_head else h]
+
+    def _embed_history(self, batch: SIDBatch) -> jax.Array:
+        """[cap, D]; token at flat position p belongs to hierarchy p % H."""
+        cfg = self.config
+        cap = batch.history_sids.shape[0]
+        hier = jnp.arange(cap, dtype=jnp.int32) % cfg.num_hierarchies
+        # history positions are per-sequence, but lengths are multiples of
+        # H and sequences start at multiples of H in the flat buffer only
+        # if capacities are; use per-sample position instead:
+        from recsys_examples_tpu.ops.jagged import row_to_batch
+
+        b = row_to_batch(batch.history_offsets, cap)
+        pos = jnp.arange(cap, dtype=jnp.int32) - batch.history_offsets[b]
+        hier = pos % cfg.num_hierarchies
+        embs = jnp.stack(
+            [bk(batch.history_sids) for bk in self.codebooks], axis=1
+        )  # [cap, n_books, D]
+        if cfg.share_codebook:
+            out = embs[:, 0]
+        else:
+            out = jnp.take_along_axis(embs, hier[:, None, None], axis=1)[:, 0]
+        return out.astype(cfg.dtype)
+
+    def _build_train_sequence(self, batch: SIDBatch):
+        """Padded dense input [B, N, D], lengths, supervision positions.
+
+        Per sample: history tokens, then BOS, then candidate[0..H-2].
+        Position predicting candidate[h] = len_hist + h (0-indexed: the BOS
+        position predicts candidate[0]).
+        """
+        cfg = self.config
+        B = batch.batch_size
+        H = cfg.num_hierarchies
+        N = batch.max_history_tokens + H  # + BOS + H-1 candidate tokens
+        hist = self._embed_history(batch)
+        dense = jagged_to_padded_dense(
+            hist, batch.history_offsets, N
+        )  # [B, N, D] (history only; tail zero)
+        # write BOS at len, candidates at len+1+h
+        lens = batch.history_lengths.astype(jnp.int32)
+        bidx = jnp.arange(B)
+        dense = dense.at[bidx, lens].set(self.bos_token.astype(cfg.dtype))
+        cand_emb = jnp.stack(
+            [
+                self._book(h)(batch.candidate_sids[:, h]).astype(cfg.dtype)
+                for h in range(H)
+            ],
+            axis=1,
+        )  # [B, H, D]
+        for h in range(H - 1):
+            dense = dense.at[bidx, lens + 1 + h].set(cand_emb[:, h])
+        total_lens = lens + H  # hist + bos + (H-1) candidates
+        return dense, total_lens, lens
+
+    # ------------------------------------------------------------ forward
+    def __call__(
+        self, batch: SIDBatch, train: bool = True
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        cfg = self.config
+        H = cfg.num_hierarchies
+        dense, total_lens, hist_lens = self._build_train_sequence(batch)
+        N = dense.shape[1]
+        mask = make_padded_causal_mask(total_lens, N)
+        hidden = self.decoder(dense, mask=mask, train=train)
+        bidx = jnp.arange(batch.batch_size)
+        loss = 0.0
+        per_h_loss = []
+        for h in range(H):
+            pos = hist_lens + h  # BOS at hist_lens predicts candidate[0]
+            hs = hidden[bidx, pos]  # [B, D]
+            logits = self._head(h)(hs.astype(jnp.float32))
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, batch.candidate_sids[:, h][:, None], axis=1
+            )[:, 0]
+            l = nll.mean()
+            per_h_loss.append(l)
+            loss = loss + l
+        loss = loss / H
+        return loss, {
+            "loss": loss,
+            "per_hierarchy_loss": jnp.stack(per_h_loss),
+        }
+
+    # ------------------------------------------------------------ generate
+    def generate(self, batch: SIDBatch, beam_width: Optional[int] = None):
+        """No-KV baseline beam generation: re-runs the full prefix for every
+        hierarchy (reference: gpt_model.py:681 `generate`). Returns
+        (paths [B, W, H], scores [B, W])."""
+        cfg = self.config
+        W = beam_width or cfg.beam_width
+        H = cfg.num_hierarchies
+        B = batch.batch_size
+        hist = self._embed_history(batch)
+        N0 = batch.max_history_tokens + 1
+        base = jagged_to_padded_dense(hist, batch.history_offsets, N0 + H - 1)
+        lens = batch.history_lengths.astype(jnp.int32)
+        bidx = jnp.arange(B)
+        base = base.at[bidx, lens].set(self.bos_token.astype(cfg.dtype))
+
+        state = init_beam(B, W, H)
+        # hierarchy 0: single context
+        mask = make_padded_causal_mask(lens + 1, base.shape[1])
+        hidden = self.decoder(base, mask=mask, train=False)
+        hs = hidden[bidx, lens]
+        logp0 = jax.nn.log_softmax(
+            self._head(0)(hs.astype(jnp.float32)), axis=-1
+        )
+        state = first_expand(state, logp0)
+
+        # hierarchies 1..H-1: re-run prefix per beam (expensive baseline)
+        for h in range(1, H):
+            # build [B*W, N0+h] sequences: history + bos + tokens so far
+            paths = decode_paths(state)  # [B, W, H] (first h valid)
+            seq = jnp.repeat(base, W, axis=0)  # [B*W, N, D]
+            lens_bw = jnp.repeat(lens, W)
+            bw = jnp.arange(B * W)
+            for hh in range(h):
+                tok = paths[:, :, hh].reshape(B * W)
+                emb = self._book(hh)(tok).astype(cfg.dtype)
+                seq = seq.at[bw, lens_bw + 1 + hh].set(emb)
+            mask = make_padded_causal_mask(lens_bw + 1 + h, seq.shape[1])
+            hidden = self.decoder(seq, mask=mask, train=False)
+            hs = hidden[bw, lens_bw + h]  # position of last token
+            logp = jax.nn.log_softmax(
+                self._head(h)(hs.astype(jnp.float32)), axis=-1
+            ).reshape(B, W, cfg.codebook_size)
+            state = propagate(state, logp)
+        return decode_paths(state), state.scores
+
+    def generate_beam_decode(
+        self, batch: SIDBatch, beam_width: Optional[int] = None
+    ):
+        """KV-cached beam decode: one prefill over [history, BOS], then H-1
+        steps attending to (context KV + per-beam decode KV with ancestry
+        gather) — reference: gpt_model.py:853 + gr_decode_atten.
+
+        Returns (paths [B, W, H], scores [B, W])."""
+        cfg = self.config
+        W = beam_width or cfg.beam_width
+        H = cfg.num_hierarchies
+        B = batch.batch_size
+        hist = self._embed_history(batch)
+        N0 = batch.max_history_tokens + 1
+        base = jagged_to_padded_dense(hist, batch.history_offsets, N0)
+        lens = batch.history_lengths.astype(jnp.int32)
+        bidx = jnp.arange(B)
+        base = base.at[bidx, lens].set(self.bos_token.astype(cfg.dtype))
+
+        # prefill: full causal pass, keep per-layer context KV
+        mask = make_padded_causal_mask(lens + 1, N0)
+        hidden, ctx_kv = self.decoder(
+            base, mask=mask, train=False, return_kv=True
+        )
+        hs = hidden[bidx, lens]
+        logp0 = jax.nn.log_softmax(
+            self._head(0)(hs.astype(jnp.float32)), axis=-1
+        )
+        state = init_beam(B, W, H)
+        state = first_expand(state, logp0)
+
+        # beam KV: [L][B*W, H-1, heads, dh] decode-side keys/values
+        beam_k = None
+        beam_v = None
+        ctx_valid = jnp.arange(N0, dtype=jnp.int32)[None] <= lens[:, None]
+
+        for h in range(1, H):
+            tok = state.tokens[:, h - 1, :].reshape(B * W)
+            x = self._book(h - 1)(tok).astype(cfg.dtype)[:, None, :]  # [BW,1,D]
+            # reorder existing beam KV by this step's parents
+            if beam_k is not None:
+                par = state.parents[:, h - 1, :]
+                beam_k = [
+                    gather_beams(
+                        k.reshape(B, W, *k.shape[1:]), par
+                    ).reshape(B * W, *k.shape[1:])
+                    for k in beam_k
+                ]
+                beam_v = [
+                    gather_beams(
+                        v.reshape(B, W, *v.shape[1:]), par
+                    ).reshape(B * W, *v.shape[1:])
+                    for v in beam_v
+                ]
+            # context+beam(+self) attention mask for a single query token
+            steps_done = h - 1  # beam tokens cached so far
+            ctx_mask = jnp.repeat(ctx_valid, W, axis=0)  # [BW, N0]
+            bm = jnp.ones((B * W, steps_done + 1), bool)  # beams + self
+            qmask = jnp.concatenate([ctx_mask, bm], axis=1)[:, None, :]
+            kv_caches = []
+            for li in range(cfg.num_layers):
+                ck, cv = ctx_kv[li]
+                ckw = jnp.repeat(ck, W, axis=0)
+                cvw = jnp.repeat(cv, W, axis=0)
+                if beam_k is not None:
+                    ckw = jnp.concatenate([ckw, beam_k[li]], axis=1)
+                    cvw = jnp.concatenate([cvw, beam_v[li]], axis=1)
+                kv_caches.append((ckw, cvw))
+            hidden, new_kv = self.decoder(
+                x, mask=qmask, kv_caches=kv_caches, return_kv=True,
+                train=False,
+            )
+            # cache only the NEW token's kv (last position)
+            new_k = [kv[0][:, -1:, :, :] for kv in new_kv]
+            new_v = [kv[1][:, -1:, :, :] for kv in new_kv]
+            if beam_k is None:
+                beam_k, beam_v = new_k, new_v
+            else:
+                beam_k = [
+                    jnp.concatenate([a, b], axis=1)
+                    for a, b in zip(beam_k, new_k)
+                ]
+                beam_v = [
+                    jnp.concatenate([a, b], axis=1)
+                    for a, b in zip(beam_v, new_v)
+                ]
+            hs = hidden[:, 0, :]
+            logp = jax.nn.log_softmax(
+                self._head(h)(hs.astype(jnp.float32)), axis=-1
+            ).reshape(B, W, cfg.codebook_size)
+            state = propagate(state, logp)
+        return decode_paths(state), state.scores
