@@ -7,7 +7,13 @@ large-beam serving — designed TPU-first (SPMD meshes, functional state,
 static shapes, Pallas kernels on the hot path).
 """
 
+import sys as _sys
+
 import jax as _jax
+
+# deep flax-module + Pallas trace stacks (8 HSTU layers x kernel tracing)
+# exceed CPython's default 1000-frame limit
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 100_000))
 
 # 64-bit ids are part of the framework contract: dynamic-embedding keys are
 # int64 (hash ids can exceed 2^31), matching the reference's int64 KJT

@@ -1,0 +1,199 @@
+"""Sequence dataset loaders + preprocessor (MovieLens / KuaiRand).
+
+Counterpart of the reference's dataset stack
+(examples/commons/datasets/hstu_sequence_dataset.py and the preprocessor
+CLI examples/commons/datasets/hstu_data_preprocessor.py: ml-1m, ml-20m,
+kuairand-pure/1k/27k).
+
+Raw data -> per-user chronological item/action sequences -> HSTUBatch
+stream. The preprocessor produces a compact .npz (user -> item ids, action
+ids, timestamps) once; the loader slices train/eval batches host-side.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from recsys_examples_tpu.data.hstu_batch import HSTUBatch, JaggedIds
+
+
+def preprocess_movielens(
+    ratings_path: str, out_path: str, min_seq_len: int = 5
+) -> dict:
+    """ml-1m/ml-20m ratings.dat/.csv -> sequences .npz
+    (reference: hstu_data_preprocessor.py ml-1m/ml-20m branches).
+
+    Ratings become 'actions' (0..5 scaled); items are movie ids."""
+    import pandas as pd
+
+    if ratings_path.endswith(".dat"):
+        df = pd.read_csv(
+            ratings_path, sep="::", engine="python", header=None,
+            names=["user_id", "movie_id", "rating", "ts"],
+        )
+    else:
+        df = pd.read_csv(ratings_path)
+        df.columns = ["user_id", "movie_id", "rating", "ts"][: len(df.columns)]
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    users, items, actions, tss, offsets = [], [], [], [], [0]
+    for uid, grp in df.groupby("user_id", sort=False):
+        if len(grp) < min_seq_len:
+            continue
+        users.append(uid)
+        items.append(grp["movie_id"].to_numpy(np.int64))
+        actions.append(grp["rating"].to_numpy(np.int64))
+        tss.append(grp["ts"].to_numpy(np.int64))
+        offsets.append(offsets[-1] + len(grp))
+    data = {
+        "user_ids": np.asarray(users, np.int64),
+        "item_ids": np.concatenate(items),
+        "action_ids": np.concatenate(actions),
+        "timestamps": np.concatenate(tss),
+        "offsets": np.asarray(offsets, np.int64),
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **data)
+    return data
+
+
+class SequenceDataset:
+    """Per-user sequences with leave-last-N-out train/eval split
+    (reference: hstu_sequence_dataset.py)."""
+
+    def __init__(
+        self,
+        npz_path: str,
+        max_history_len: int,
+        max_num_candidates: int = 1,
+        num_tasks: int = 1,
+        eval_holdout: int = 1,
+        action_vocab_size: int = 0,
+    ):
+        d = np.load(npz_path)
+        self.user_ids = d["user_ids"]
+        self.item_ids = d["item_ids"]
+        self.action_ids = d["action_ids"] if "action_ids" in d else None
+        self.timestamps = d["timestamps"] if "timestamps" in d else None
+        self.offsets = d["offsets"]
+        self.max_history_len = max_history_len
+        self.max_num_candidates = max_num_candidates
+        self.num_tasks = num_tasks
+        self.eval_holdout = eval_holdout
+        self.action_vocab_size = action_vocab_size
+        self.num_users = len(self.user_ids)
+
+    def _user_seq(self, u: int, train: bool):
+        s, e = self.offsets[u], self.offsets[u + 1]
+        items = self.item_ids[s:e]
+        actions = (
+            self.action_ids[s:e] if self.action_ids is not None else None
+        )
+        if train:
+            items = items[: len(items) - self.eval_holdout]
+            if actions is not None:
+                actions = actions[: len(actions) - self.eval_holdout]
+        # truncate oldest
+        if len(items) > self.max_history_len + self.max_num_candidates:
+            cut = len(items) - (self.max_history_len + self.max_num_candidates)
+            items = items[cut:]
+            if actions is not None:
+                actions = actions[cut:]
+        return items, actions
+
+    def batches(
+        self, batch_size: int, *, train: bool = True, seed: int = 0,
+        shuffle: bool = True,
+    ) -> Iterator[HSTUBatch]:
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        order = np.arange(self.num_users)
+        while True:
+            if shuffle:
+                rng.shuffle(order)
+            for i in range(0, self.num_users - batch_size + 1, batch_size):
+                uids = order[i:i + batch_size]
+                item_max = self.max_history_len + self.max_num_candidates
+                cap = batch_size * item_max
+                iv = np.zeros((cap,), np.int64)
+                av = np.zeros((cap,), np.int64)
+                lens = np.zeros((batch_size,), np.int32)
+                ncand = np.zeros((batch_size,), np.int32)
+                labels = np.zeros(
+                    (batch_size * max(self.max_num_candidates, 1),), np.int32
+                )
+                lab_len = np.zeros((batch_size,), np.int32)
+                pos = 0
+                for j, u in enumerate(uids):
+                    items, actions = self._user_seq(int(u), train)
+                    n = len(items)
+                    nc = min(self.max_num_candidates, max(n - 1, 0))
+                    iv[pos:pos + n] = items
+                    if actions is not None:
+                        av[pos:pos + n] = actions
+                    lens[j] = n
+                    ncand[j] = nc
+                    # labels from actions on candidates (e.g. rating>=4)
+                    if nc > 0 and actions is not None:
+                        pos_lab = (actions[n - nc:] >= 4).astype(np.int32)
+                        labels[
+                            j * self.max_num_candidates:
+                            j * self.max_num_candidates + nc
+                        ] = pos_lab
+                        lab_len[j] = nc
+                    pos += n
+                feats = {
+                    "item": JaggedIds(
+                        values=jnp.asarray(iv),
+                        lengths=jnp.asarray(lens),
+                        offsets=jnp.asarray(
+                            np.concatenate([[0], np.cumsum(lens)]).astype(
+                                np.int32
+                            )
+                        ),
+                        max_len=item_max,
+                    )
+                }
+                f2m = {"item": item_max}
+                act_name = None
+                if self.action_ids is not None and self.action_vocab_size:
+                    act_name = "action"
+                    feats["action"] = JaggedIds(
+                        values=jnp.asarray(av),
+                        lengths=feats["item"].lengths,
+                        offsets=feats["item"].offsets,
+                        max_len=item_max,
+                    )
+                    f2m["action"] = item_max
+                yield HSTUBatch(
+                    features=feats,
+                    batch_size=batch_size,
+                    feature_to_max_seqlen=f2m,
+                    item_feature_name="item",
+                    action_feature_name=act_name,
+                    max_num_candidates=self.max_num_candidates,
+                    num_candidates=jnp.asarray(ncand)
+                    if self.max_num_candidates
+                    else None,
+                    labels=jnp.asarray(labels),
+                    label_lengths=jnp.asarray(lab_len),
+                )
+            if not train:
+                return
+
+
+def sequence_dataset_iterator(ds_args, trainer_args) -> Iterator[HSTUBatch]:
+    """Entry used by pretrain_gr_ranking when dataset_name != random."""
+    ds = SequenceDataset(
+        ds_args.dataset_path,
+        max_history_len=ds_args.max_history_len,
+        max_num_candidates=ds_args.max_num_candidates,
+        num_tasks=ds_args.num_tasks,
+        action_vocab_size=ds_args.action_vocab_size,
+    )
+    yield from ds.batches(
+        ds_args.batch_size, train=True, seed=trainer_args.seed,
+        shuffle=ds_args.shuffle,
+    )

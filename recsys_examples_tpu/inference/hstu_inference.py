@@ -1,0 +1,198 @@
+"""HSTU inference with user-keyed KV cache (delta-q path).
+
+Counterpart of the reference inference stack
+(examples/hstu/model/inference_ranking_gr.py:46 `InferenceRankingGR`
+.forward_with_kvcache:130 = kv lookup -> allocate -> onboard -> strip cached
+tokens -> embeddings -> dense fwd; paged layer
+examples/hstu/modules/paged_hstu_infer_layer.py:41).
+
+Only the *new* (uncached) tokens run through the network; each layer
+appends its new K/V to the paged cache and attends the new queries over
+[cached ++ new] (delta-q mask semantics of `pytorch_cached_hstu_mha`,
+pt_hstu_attention.py:229). Bucketed static shapes play the role of the
+reference's CUDA-graph batch buckets: one compiled executable per
+(batch, new-token, cache-len) bucket.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recsys_examples_tpu.inference.kvcache import (
+    KVCacheConfig,
+    KVCacheState,
+    allocate_kvcache,
+    append_kvcache,
+    gather_kvcache,
+    lookup_kvcache,
+)
+from recsys_examples_tpu.modules.config import HSTUConfig
+
+
+def delta_attention(
+    q: jax.Array,        # [B, S, H, dh] new-token queries
+    k: jax.Array,        # [B, N, H, dh] full keys (cached ++ new, padded)
+    v: jax.Array,        # [B, N, H, dh]
+    q_pos: jax.Array,    # [B, S] global position of each new token
+    kv_len: jax.Array,   # [B] total valid keys
+    num_targets: Optional[jax.Array],
+    alpha: float,
+    scaling_seqlen: int,
+) -> jax.Array:
+    """SiLU delta attention: new queries over the full sequence
+    (semantics: pt_hstu_attention.py:199 `_get_delta_valid_attn_mask`)."""
+    B, S, H, dh = q.shape
+    N = k.shape[1]
+    sc = jnp.einsum(
+        "bshd,bnhd->bhsn", q, k, preferred_element_type=jnp.float32
+    ) * alpha
+    p = jax.nn.silu(sc) * (1.0 / scaling_seqlen)
+    col = jnp.arange(N, dtype=jnp.int32)[None, None, :]     # [1,1,N]
+    row = q_pos.astype(jnp.int32)[:, :, None]               # [B,S,1]
+    valid = col == row
+    if num_targets is not None:
+        hist_end = (kv_len - num_targets).astype(jnp.int32)[:, None, None]
+        rowc = jnp.minimum(row, hist_end)
+        colc = jnp.minimum(jnp.broadcast_to(col, (B, S, N)), hist_end)
+    else:
+        rowc, colc = row, jnp.broadcast_to(col, (B, S, N))
+    dist = rowc - colc
+    valid = valid | (dist > 0)
+    valid = valid & (col < kv_len[:, None, None])
+    p = p * valid[:, None].astype(p.dtype)
+    out = jnp.einsum(
+        "bhsn,bnhd->bshd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+class PagedHSTUInferLayer(nn.Module):
+    """One HSTU layer, inference path. Parameter names/shapes match the
+    training `HSTULayer` so trained params load directly."""
+
+    config: HSTUConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,            # [B, S, D] new tokens
+        cached_k: jax.Array,     # [B, Nc, H, dh]
+        cached_v: jax.Array,
+        cached_len: jax.Array,   # [B]
+        new_lens: jax.Array,     # [B] valid new tokens
+        num_targets: Optional[jax.Array],
+        scaling_seqlen: int,
+    ):
+        cfg = self.config
+        H, dh, D = cfg.num_attention_heads, cfg.kv_channels, cfg.hidden_size
+        B, S, _ = x.shape
+        normed = nn.LayerNorm(
+            epsilon=cfg.layernorm_epsilon,
+            use_bias=cfg.learnable_input_layernorm,
+            use_scale=cfg.learnable_input_layernorm,
+            dtype=cfg.dtype, name="input_layernorm",
+        )(x)
+        from recsys_examples_tpu.modules.hstu_layer import _dense, MODEL_AXIS
+
+        uvqk = _dense(
+            4 * H * dh, use_bias=cfg.add_uvqk_bias,
+            kernel_axes=(None, MODEL_AXIS), name="linear_uvqk",
+            dtype=cfg.dtype,
+        )(normed)
+        uvqk = nn.silu(uvqk).reshape(B, S, H, 4 * dh)
+        u = uvqk[..., 0 * dh:1 * dh].reshape(B, S, H * dh)
+        v_new = uvqk[..., 1 * dh:2 * dh]
+        q = uvqk[..., 2 * dh:3 * dh]
+        k_new = uvqk[..., 3 * dh:4 * dh]
+
+        # full K/V = cached ++ new (positions cached_len + i)
+        Nc = cached_k.shape[1]
+        N = Nc + S
+        full_k = jnp.concatenate([cached_k, k_new], axis=1)
+        full_v = jnp.concatenate([cached_v, v_new], axis=1)
+        # move new tokens into their true positions: cached part is already
+        # position-aligned [0, cached_len); new token i sits at
+        # cached_len + i but is stored at Nc + i -> build index map
+        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+        # gather order: for position p < cached_len -> p;
+        # for p in [cached_len, cached_len+new) -> Nc + (p - cached_len)
+        cl = cached_len[:, None]
+        src = jnp.where(pos < cl, pos, Nc + (pos - cl))
+        src = jnp.clip(src, 0, N - 1)
+        full_k = jnp.take_along_axis(full_k, src[:, :, None, None], axis=1)
+        full_v = jnp.take_along_axis(full_v, src[:, :, None, None], axis=1)
+
+        q_pos = cached_len[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        kv_len = cached_len + new_lens
+        attn = delta_attention(
+            q, full_k, full_v, q_pos, kv_len, num_targets,
+            alpha=1.0 / (dh ** 0.5), scaling_seqlen=scaling_seqlen,
+        ).reshape(B, S, H * dh)
+
+        y = nn.LayerNorm(
+            epsilon=cfg.layernorm_epsilon,
+            use_bias=cfg.learnable_output_layernorm,
+            use_scale=cfg.learnable_output_layernorm,
+            dtype=cfg.dtype, name="output_layernorm",
+        )(attn)
+        y = y * u
+        out = _dense(
+            D, use_bias=False, kernel_axes=(MODEL_AXIS, None),
+            name="linear_proj", dtype=cfg.dtype,
+        )(y)
+        if cfg.residual:
+            out = out + x
+        return out, k_new, v_new
+
+
+class HSTUBlockInference(nn.Module):
+    """Stack of PagedHSTUInferLayers; collects per-layer new K/V for the
+    cache append (reference: modules/hstu_block_inference.py:15)."""
+
+    config: HSTUConfig
+
+    @nn.compact
+    def __call__(
+        self, x, cached_k, cached_v, cached_len, new_lens, num_targets,
+        scaling_seqlen,
+    ):
+        cfg = self.config
+        ks, vs = [], []
+        for i in range(cfg.num_layers):
+            x, k_new, v_new = PagedHSTUInferLayer(
+                cfg, name=f"layer_{i}"
+            )(
+                x, cached_k[i], cached_v[i], cached_len, new_lens,
+                num_targets, scaling_seqlen,
+            )
+            ks.append(k_new)
+            vs.append(v_new)
+        return x, jnp.stack(ks), jnp.stack(vs)
+
+
+def strip_cached_tokens(
+    values: jax.Array,      # [B, S_full, ...] dense per-user sequences
+    lengths: jax.Array,     # [B] full lengths
+    cached: jax.Array,      # [B] cached prefix lengths
+    max_new: int,
+):
+    """Select the uncached suffix per user (reference:
+    kjt_aux_op.cpp:349 `strip_cached_tokens`). Returns
+    (new_values [B, max_new, ...], new_lens [B])."""
+    B = values.shape[0]
+    idx = cached[:, None] + jnp.arange(max_new, dtype=jnp.int32)[None, :]
+    ok = idx < lengths[:, None]
+    idx = jnp.clip(idx, 0, values.shape[1] - 1)
+    out = jnp.take_along_axis(
+        values, idx.reshape(B, max_new, *([1] * (values.ndim - 2))), axis=1
+    )
+    out = jnp.where(
+        ok.reshape(B, max_new, *([1] * (values.ndim - 2))),
+        out, jnp.zeros((), out.dtype),
+    )
+    return out, jnp.maximum(lengths - cached, 0).astype(jnp.int32)

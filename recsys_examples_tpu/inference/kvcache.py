@@ -274,8 +274,8 @@ def gather_kvcache(
     page_id = jnp.take_along_axis(pages, page_idx, axis=1)  # [B, max_len]
     ok = (pos < lens[:, None]) & (page_id >= 0)
     pid = jnp.where(ok, page_id, 0).reshape(-1)
-    ip = in_page.reshape(-1)
     B = slots.shape[0]
+    ip = jnp.broadcast_to(in_page, (B, max_len)).reshape(-1)
     k = state.k_pages[:, pid, ip].reshape(
         cfg.num_layers, B, max_len, cfg.num_heads, cfg.head_dim
     )

@@ -169,11 +169,11 @@ def _fwd_kernel(
         row_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
 
         def body(kj, _):
-            slot = jax.lax.rem(kj, 2)
+            slot = jax.lax.rem(kj, jnp.asarray(2, jnp.asarray(kj).dtype))
 
             @pl.when(kj + 1 < num_kb)
             def _():
-                a, bb = kv_dma(jax.lax.rem(kj + 1, 2), kj + 1)
+                a, bb = kv_dma(jax.lax.rem(kj + 1, jnp.asarray(2, (kj + 1).dtype)), kj + 1)
                 a.start()
                 bb.start()
 
@@ -259,11 +259,11 @@ def _bwd_dq_kernel(
         row_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
 
         def body(kj, _):
-            slot = jax.lax.rem(kj, 2)
+            slot = jax.lax.rem(kj, jnp.asarray(2, jnp.asarray(kj).dtype))
 
             @pl.when(kj + 1 < num_kb)
             def _():
-                a, bb = kv_dma(jax.lax.rem(kj + 1, 2), kj + 1)
+                a, bb = kv_dma(jax.lax.rem(kj + 1, jnp.asarray(2, (kj + 1).dtype)), kj + 1)
                 a.start()
                 bb.start()
 
@@ -362,11 +362,11 @@ def _bwd_dkv_kernel(
 
         def body(idx, _):
             qj = q_start_blk + idx
-            slot = jax.lax.rem(idx, 2)
+            slot = jax.lax.rem(idx, jnp.asarray(2, idx.dtype))
 
             @pl.when(qj + 1 < num_qb)
             def _():
-                a, bb = q_dma(jax.lax.rem(idx + 1, 2), qj + 1)
+                a, bb = q_dma(jax.lax.rem(idx + 1, jnp.asarray(2, (idx + 1).dtype)), qj + 1)
                 a.start()
                 bb.start()
 

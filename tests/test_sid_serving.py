@@ -1,0 +1,80 @@
+"""SID-GR serving engine + continuous scheduler tests (CPU, tiny model).
+
+Reference test model: examples/sid-gr-inference/tests/ (scheduler, pools,
+policies run CPU-side with stub backends)."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from recsys_examples_tpu.data.sid_batch import random_sid_batch
+from recsys_examples_tpu.inference.sid_serving.engine import (
+    GRServingEngine,
+    ServingConfig,
+)
+from recsys_examples_tpu.inference.sid_serving.scheduler import (
+    BeamPolicy,
+    GRContinuousScheduler,
+)
+from recsys_examples_tpu.models.sid_gr import SIDGRConfig, SIDGRModel
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = SIDGRConfig(
+        num_hierarchies=3, codebook_size=16, hidden_size=32, num_layers=1,
+        num_heads=2, head_dim=16, ffn_hidden=64, beam_width=4,
+    )
+    model = SIDGRModel(cfg)
+    batch = random_sid_batch(0, 2, 4, 3, 16)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )["params"]
+    scfg = ServingConfig(
+        beam_width=4, ctx_buckets=(12, 24), batch_buckets=(1, 2, 4),
+    )
+    return GRServingEngine(model, params, scfg)
+
+
+def test_engine_generate_and_bucket_reuse(engine):
+    rng = np.random.default_rng(0)
+    ctxs = [rng.integers(0, 16, size=(9,)), rng.integers(0, 16, size=(6,))]
+    paths, scores = engine.generate(ctxs)
+    assert paths.shape == (2, 4, 3)
+    assert np.isfinite(scores).all()
+    # beams sorted by score
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    n0 = engine.compile_count
+    paths2, _ = engine.generate(
+        [rng.integers(0, 16, size=(12,)), rng.integers(0, 16, size=(3,))]
+    )
+    assert engine.compile_count == n0  # bucket executable reused
+
+
+def test_scheduler_end_to_end(engine):
+    sched = GRContinuousScheduler(engine, max_batch=4)
+    rng = np.random.default_rng(1)
+    rids = [
+        sched.submit(rng.integers(0, 16, size=(6,)), top_k=2)
+        for _ in range(5)
+    ]
+    sched.run_until_empty()
+    done = 0
+    for rid in rids:
+        res = sched.get_result(rid)
+        assert res is not None and "sids" in res
+        assert len(res["sids"]) == 2
+        done += 1
+    assert done == 5
+    st = sched.status()
+    assert st["completed"] == 5 and st["queue_depth"] == 0
+
+
+def test_beam_policy():
+    p = BeamPolicy(kind="scheduled", schedule=(64, 16, 8))
+    assert p.width_for(0) == 64
+    assert p.width_for(2) == 8
+    assert p.width_for(9) == 8
+    assert BeamPolicy(width=32).width_for(1) == 32
