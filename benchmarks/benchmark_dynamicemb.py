@@ -1,0 +1,71 @@
+"""Dynamic embedding lookup/insert throughput.
+
+Counterpart of the reference's DynamicEmb benchmark
+(corelib/dynamicemb/benchmark/README.md — fused tables, dedup on/off,
+global batch 65536).
+
+Usage: python benchmarks/benchmark_dynamicemb.py
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_examples_tpu.dynamicemb.batched_table import DynamicEmbeddingTable
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import (
+    DynamicEmbTableOptions,
+)
+from recsys_examples_tpu.dynamicemb.optimizer import SparseOptimizerArgs
+from recsys_examples_tpu.dynamicemb.unique_op import segmented_unique
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    n_ids = 65536 if on_tpu else 2048
+    dim = 128
+    cap = (1 << 22) if on_tpu else (1 << 14)
+    tbl = DynamicEmbeddingTable(
+        DynamicEmbTableOptions(
+            embedding_dim=dim, max_capacity=cap, bucket_capacity=128
+        ),
+        SparseOptimizerArgs(optimizer="rowwise_adagrad", learning_rate=0.01),
+    )
+    state = tbl.init_state()
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def step(state, ids):
+        uk, rev, _, nu = segmented_unique(ids)
+        state, slots, emb = tbl.forward_train(state, uk)
+        out = emb[rev]
+        state = tbl.backward(state, slots, jnp.ones_like(emb))
+        return state, out.sum()
+
+    def batch(i):
+        # zipf-ish skewed id distribution
+        return jnp.asarray(
+            rng.zipf(1.1, n_ids).astype(np.int64) % (cap * 4)
+        )
+
+    state, s = step(state, batch(0))
+    jax.block_until_ready(s)
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, s = step(state, batch(i))
+    jax.block_until_ready(s)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "bench": "dynamicemb_fwd_bwd",
+        "ids_per_step": n_ids,
+        "dim": dim,
+        "capacity": cap,
+        "step_ms": round(dt * 1e3, 3),
+        "lookups_per_s": round(n_ids / dt),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,30 @@ def hstu_sample_cost(
     return n * n + 8.0 * n
 
 
+def _load_native():
+    """Native C++ partitioner (csrc/kk_partition.cpp) via ctypes, mirroring
+    the reference's C++ KK core (perf_model/csrc/kk_partition.cpp)."""
+    import ctypes
+    import os
+
+    so = os.path.join(
+        os.path.dirname(__file__), "..", "..", "csrc", "libkk_partition.so"
+    )
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(so)
+    lib.kk_partition.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    return lib
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
 def karmarkar_karp(
     costs: np.ndarray, num_parts: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -36,8 +60,32 @@ def karmarkar_karp(
     Returns (assignment [N] in [0, num_parts), part_loads [num_parts]).
     Greedy LPT refinement of KK for k-way with equal cardinality relaxed;
     the reference additionally constrains equal counts per rank — enforced
-    here by a per-part capacity.
+    here by a per-part capacity. Uses the native C++ core when built
+    (csrc/libkk_partition.so); numpy fallback otherwise.
     """
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            _NATIVE = _load_native()
+        except OSError:
+            _NATIVE = None
+    if _NATIVE is not None:
+        import ctypes
+
+        n = len(costs)
+        per = (n + num_parts - 1) // num_parts
+        c = np.ascontiguousarray(costs, np.float64)
+        assign = np.zeros(n, np.int32)
+        loads = np.zeros(num_parts, np.float64)
+        _NATIVE.kk_partition(
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(n), ctypes.c_int32(num_parts),
+            ctypes.c_int64(per),
+            assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            loads.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return assign.astype(np.int64), loads
     n = len(costs)
     per = (n + num_parts - 1) // num_parts
     order = np.argsort(-costs)

@@ -1,0 +1,144 @@
+"""Hybrid HBM + host-RAM embedding storage with prefetch.
+
+Counterpart of the reference's storage tiers
+(corelib/dynamicemb/dynamicemb/key_value_table.py:2107 `HybridStorage`,
+:1522 `DynamicEmbCache`, prefetch path
+batched_dynamicemb_function.py:298 `_prefetch_cache_path`,
+:699 `dynamicemb_prefetch`):
+
+  - device tier: the bucketized HashTableState in HBM (the "cache")
+  - host tier: numpy-backed key->row store (UVM/VMM equivalent on TPU is
+    plain host RAM; capacity = RAM)
+  - prefetch(keys): before the jitted train step, pull the batch's missing
+    keys from host into the device table (insert_and_evict) and flush the
+    evicted rows back to host. The train step then hits HBM only.
+
+Prefetch runs host-side one batch ahead (the reference's dedicated
+prefetch pipeline stage); overlap comes from dispatching the device insert
+before the previous step's outputs are consumed.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_examples_tpu.dynamicemb.batched_table import (
+    DynamicEmbeddingTable,
+    DynamicEmbTableState,
+)
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import EMPTY_KEY
+from recsys_examples_tpu.dynamicemb.hashtable import (
+    export_batch,
+    insert_and_evict,
+    lookup,
+)
+
+
+class HostStorage:
+    """Host-RAM key -> (value row, score) store
+    (reference: DynamicEmbStorage host/UVM tier)."""
+
+    def __init__(self, value_dim: int):
+        self.value_dim = value_dim
+        self.rows: Dict[int, np.ndarray] = {}
+        self.scores: Dict[int, int] = {}
+
+    def __len__(self):
+        return len(self.rows)
+
+    def get_batch(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(values [n, vd], found [n]) for int64 keys."""
+        n = len(keys)
+        vals = np.zeros((n, self.value_dim), np.float32)
+        found = np.zeros((n,), bool)
+        for i, k in enumerate(keys):
+            r = self.rows.get(int(k))
+            if r is not None:
+                vals[i] = r
+                found[i] = True
+        return vals, found
+
+    def put_batch(
+        self, keys: np.ndarray, values: np.ndarray, scores: np.ndarray
+    ) -> None:
+        for k, v, s in zip(keys, values, scores):
+            ik = int(k)
+            if ik == int(EMPTY_KEY):
+                continue
+            self.rows[ik] = np.asarray(v, np.float32).copy()
+            self.scores[ik] = int(s)
+
+
+class HybridDynamicEmbedding:
+    """Device table (cache) + host tier; prefetch keeps the working set in
+    HBM so the jitted step never misses to host."""
+
+    def __init__(self, table: DynamicEmbeddingTable):
+        self.table = table
+        self.host = HostStorage(table.value_dim)
+
+    def init_state(self) -> DynamicEmbTableState:
+        return self.table.init_state()
+
+    def prefetch(
+        self, state: DynamicEmbTableState, keys: np.ndarray
+    ) -> DynamicEmbTableState:
+        """Move the batch's host-resident keys into the device table,
+        flushing evicted rows to host (reference: dynamicemb_prefetch
+        batched_dynamicemb_function.py:699)."""
+        ukeys = np.unique(keys[keys != int(EMPTY_KEY)])
+        if len(ukeys) == 0:
+            return state
+        dk = jnp.asarray(ukeys)
+        _, found = lookup(state.table, dk)
+        found = np.asarray(found)
+        missing = ukeys[~found]
+        if len(missing) == 0:
+            return state
+        host_vals, host_found = self.host.get_batch(missing)
+        bring = missing[host_found]
+        if len(bring) == 0:
+            return state
+        vals = host_vals[host_found]
+        # snapshot victims: keys currently in the target buckets may be
+        # evicted — capture the full table pre-insert to flush them after
+        pre_keys = np.asarray(state.table.keys).reshape(-1)
+        pre_scores = np.asarray(state.table.scores).reshape(-1)
+        score = int(np.asarray(state.step)[0]) + 1
+        tstate, slots, evicted = insert_and_evict(
+            state.table,
+            jnp.asarray(bring),
+            jnp.full((len(bring),), score, jnp.int64),
+            jnp.asarray(vals, state.table.values.dtype),
+            update_existing_values=True,
+            rounds=self.table.options.insert_rounds,
+        )
+        slots_np = np.asarray(slots)
+        ev_np = np.asarray(evicted)
+        victim_slots = slots_np[ev_np & (slots_np >= 0)]
+        if len(victim_slots):
+            vkeys = pre_keys[victim_slots]
+            vscores = pre_scores[victim_slots]
+            vvals = np.asarray(state.table.values)[victim_slots]
+            live = vkeys != int(EMPTY_KEY)
+            self.host.put_batch(
+                vkeys[live], vvals[live], vscores[live]
+            )
+        # drop the keys now living on-device from host
+        for k in bring:
+            self.host.rows.pop(int(k), None)
+        return state.replace(table=tstate)
+
+    def flush_all(self, state: DynamicEmbTableState) -> None:
+        """Flush the whole device table to host (reference: flush_cache
+        key_value_table.py:2776) — used before a full dump."""
+        nb = state.table.num_buckets
+        step = max(1, min(nb, 4096))
+        for start in range(0, nb, step):
+            cnt = min(step, nb - start)
+            k, s, v, valid = export_batch(state.table, start, cnt)
+            k, s, v, valid = map(np.asarray, (k, s, v, valid))
+            self.host.put_batch(k[valid], v[valid], s[valid])

@@ -161,11 +161,11 @@ class HSTUBlockPostprocessor(nn.Module):
             max_seqlen = jd.max_num_candidates
         elif jd.contextual_max_seqlen > 0:
             len_a = jd.contextual_seqlen
-            post_cap = T
+            ctx_cap = jd.seqlen.shape[0] * jd.contextual_max_seqlen
             _, _, values, offsets = split_2D_jagged(
                 values, jd.seqlen_offsets, len_a,
-                total_a=jd.seqlen.shape[0] * jd.contextual_max_seqlen,
-                total_b=post_cap,
+                total_a=ctx_cap,
+                total_b=T - ctx_cap,
             )
             max_seqlen = jd.max_seqlen - jd.contextual_max_seqlen
         else:

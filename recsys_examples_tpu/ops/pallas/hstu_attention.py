@@ -54,7 +54,8 @@ def _dsilu_f32(x):
 
 
 def _cdiv(a, b):
-    return (a + b - 1) // b
+    b = jnp.int32(b)
+    return ((a.astype(jnp.int32) + b - jnp.int32(1)) // b)
 
 
 def _compute_mask(
@@ -65,19 +66,22 @@ def _compute_mask(
     """[BQ, BK] fp32 validity mask (semantics of reference
     `_get_valid_attn_mask`, pt_hstu_attention.py:46, + in-sequence
     guards for the packed layout)."""
-    row_ids = jnp.maximum(row_pos - c + 1, 0)
-    col_ids = jnp.maximum(col_pos - c + 1, 0)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    row_ids = jnp.maximum(row_pos - c + one, zero)
+    col_ids = jnp.maximum(col_pos - c + one, zero)
     dist = row_ids - col_ids
     if not causal:
         dist = jnp.abs(dist)
-    valid = jnp.logical_or(row_pos == col_pos, dist > 0)
+    valid = jnp.logical_or(row_pos == col_pos, dist > zero)
 
-    max_id = n - c + 1
+    max_id = n - c + one
     hist_max_id = max_id
     if has_targets:
-        g = target_group_size
-        tg_row = jnp.maximum(row_ids - max_id + t, -1) // g
-        tg_col = jnp.maximum(col_ids - max_id + t, -1) // g
+        g = jnp.int32(target_group_size)
+        neg1 = jnp.int32(-1)
+        tg_row = jnp.maximum(row_ids - max_id + t, neg1) // g
+        tg_col = jnp.maximum(col_ids - max_id + t, neg1) // g
         ok = jnp.logical_or(
             tg_row == tg_col, jnp.logical_or(tg_row < 0, tg_col < 0)
         )
@@ -85,16 +89,17 @@ def _compute_mask(
         hist_max_id = max_id - t
 
     if max_attn_len > 0:
+        mal = jnp.int32(max_attn_len)
         if min_full_attn_seq_len > 0:
             valid = jnp.logical_and(
                 valid,
                 jnp.logical_or(
-                    dist <= max_attn_len,
-                    row_ids >= hist_max_id - min_full_attn_seq_len,
+                    dist <= mal,
+                    row_ids >= hist_max_id - jnp.int32(min_full_attn_seq_len),
                 ),
             )
         else:
-            valid = jnp.logical_and(valid, dist <= max_attn_len)
+            valid = jnp.logical_and(valid, dist <= mal)
 
     if has_context:
         valid = jnp.logical_or(
@@ -110,7 +115,7 @@ def _kv_extent(q_lo, n, c, BQ, *, causal, has_context):
     """How far into K/V this q tile must look."""
     if not causal:
         return n
-    causal_end = jnp.minimum(n, q_lo + BQ)
+    causal_end = jnp.minimum(n, q_lo + jnp.int32(BQ))
     if has_context:
         return jnp.where(q_lo < c, n, causal_end)
     return causal_end
@@ -137,29 +142,29 @@ def _fwd_kernel(
     b = pl.program_id(0)
     qi = pl.program_id(1)
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
-    q_lo = qi * BQ
+    q_lo = qi * jnp.int32(BQ)
 
     @pl.when(q_lo < n)
     def _work():
         s = pl.multiple_of(off + q_lo, BQ)
-        q_dma = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[0])
+        q_dma = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[jnp.int32(0)])
         q_dma.start()
 
         kv_end = _kv_extent(q_lo, n, c, BQ, causal=causal, has_context=has_context)
         num_kb = _cdiv(kv_end, BK)
 
         def kv_dma(slot, kj):
-            ks = pl.multiple_of(off + kj * BK, BK)
+            ks = pl.multiple_of(off + kj * jnp.int32(BK), BK)
             return (
                 pltpu.make_async_copy(
-                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[1 + slot]
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[jnp.int32(1) + slot]
                 ),
                 pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[3 + slot]
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[jnp.int32(3) + slot]
                 ),
             )
 
-        dk0, dv0 = kv_dma(0, 0)
+        dk0, dv0 = kv_dma(jnp.int32(0), jnp.int32(0))
         dk0.start()
         dv0.start()
 
@@ -181,7 +186,7 @@ def _fwd_kernel(
             dkc.wait()
             dvc.wait()
 
-            col_pos = kj * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+            col_pos = kj * jnp.int32(BK) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
             mask = _compute_mask(
                 row_pos, col_pos, n, c, t,
                 causal=causal, has_context=has_context, has_targets=has_targets,
@@ -202,11 +207,11 @@ def _fwd_kernel(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, num_kb, body, 0, unroll=False)
+        jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
         o_buf[:] = acc_ref[:].astype(o_buf.dtype)
-        o_dma = pltpu.make_async_copy(o_buf, o_hbm.at[pl.ds(s, BQ)], sem.at[5])
+        o_dma = pltpu.make_async_copy(o_buf, o_hbm.at[pl.ds(s, BQ)], sem.at[jnp.int32(5)])
         o_dma.start()
         o_dma.wait()
 
@@ -224,13 +229,13 @@ def _bwd_dq_kernel(
     b = pl.program_id(0)
     qi = pl.program_id(1)
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
-    q_lo = qi * BQ
+    q_lo = qi * jnp.int32(BQ)
 
     @pl.when(q_lo < n)
     def _work():
         s = pl.multiple_of(off + q_lo, BQ)
-        d1 = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[0])
-        d2 = pltpu.make_async_copy(do_hbm.at[pl.ds(s, BQ)], do_buf, sem.at[1])
+        d1 = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[jnp.int32(0)])
+        d2 = pltpu.make_async_copy(do_hbm.at[pl.ds(s, BQ)], do_buf, sem.at[jnp.int32(1)])
         d1.start()
         d2.start()
 
@@ -238,17 +243,17 @@ def _bwd_dq_kernel(
         num_kb = _cdiv(kv_end, BK)
 
         def kv_dma(slot, kj):
-            ks = pl.multiple_of(off + kj * BK, BK)
+            ks = pl.multiple_of(off + kj * jnp.int32(BK), BK)
             return (
                 pltpu.make_async_copy(
-                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[2 + slot]
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[jnp.int32(2) + slot]
                 ),
                 pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[4 + slot]
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[jnp.int32(4) + slot]
                 ),
             )
 
-        a0, b0 = kv_dma(0, 0)
+        a0, b0 = kv_dma(jnp.int32(0), jnp.int32(0))
         a0.start()
         b0.start()
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -270,7 +275,7 @@ def _bwd_dq_kernel(
             dkc, dvc = kv_dma(slot, kj)
             dkc.wait()
             dvc.wait()
-            col_pos = kj * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+            col_pos = kj * jnp.int32(BK) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
             mask = _compute_mask(
                 row_pos, col_pos, n, c, t,
                 causal=causal, has_context=has_context, has_targets=has_targets,
@@ -298,11 +303,11 @@ def _bwd_dq_kernel(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, num_kb, body, 0, unroll=False)
+        jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
         dq_buf[:] = acc_ref[:].astype(dq_buf.dtype)
-        d = pltpu.make_async_copy(dq_buf, dq_hbm.at[pl.ds(s, BQ)], sem.at[0])
+        d = pltpu.make_async_copy(dq_buf, dq_hbm.at[pl.ds(s, BQ)], sem.at[jnp.int32(0)])
         d.start()
         d.wait()
 
@@ -320,36 +325,36 @@ def _bwd_dkv_kernel(
     b = pl.program_id(0)
     ki = pl.program_id(1)
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
-    k_lo = ki * BK
+    k_lo = ki * jnp.int32(BK)
 
     @pl.when(k_lo < n)
     def _work():
         s = pl.multiple_of(off + k_lo, BK)
-        d1 = pltpu.make_async_copy(k_hbm.at[pl.ds(s, BK)], k_buf, sem.at[0])
-        d2 = pltpu.make_async_copy(v_hbm.at[pl.ds(s, BK)], v_buf, sem.at[1])
+        d1 = pltpu.make_async_copy(k_hbm.at[pl.ds(s, BK)], k_buf, sem.at[jnp.int32(0)])
+        d2 = pltpu.make_async_copy(v_hbm.at[pl.ds(s, BK)], v_buf, sem.at[jnp.int32(1)])
         d1.start()
         d2.start()
 
         # first q tile that can see this k tile (causal skip); contextual
         # rows live in the first tiles and see everything, so start at 0.
         if causal and not has_context:
-            q_start_blk = k_lo // BQ
+            q_start_blk = k_lo // jnp.int32(BQ)
         else:
             q_start_blk = jnp.int32(0)
         num_qb = _cdiv(n, BQ)
 
         def q_dma(slot, qj):
-            qs = pl.multiple_of(off + qj * BQ, BQ)
+            qs = pl.multiple_of(off + qj * jnp.int32(BQ), BQ)
             return (
                 pltpu.make_async_copy(
-                    q_hbm.at[pl.ds(qs, BQ)], q_buf.at[slot], sem.at[2 + slot]
+                    q_hbm.at[pl.ds(qs, BQ)], q_buf.at[slot], sem.at[jnp.int32(2) + slot]
                 ),
                 pltpu.make_async_copy(
-                    do_hbm.at[pl.ds(qs, BQ)], do_buf.at[slot], sem.at[4 + slot]
+                    do_hbm.at[pl.ds(qs, BQ)], do_buf.at[slot], sem.at[jnp.int32(4) + slot]
                 ),
             )
 
-        a0, b0 = q_dma(0, q_start_blk)
+        a0, b0 = q_dma(jnp.int32(0), q_start_blk)
         a0.start()
         b0.start()
         acck_ref[:] = jnp.zeros_like(acck_ref)
@@ -373,7 +378,7 @@ def _bwd_dkv_kernel(
             ac, bc = q_dma(slot, qj)
             ac.wait()
             bc.wait()
-            row_pos = qj * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+            row_pos = qj * jnp.int32(BQ) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
             mask = _compute_mask(
                 row_pos, col_pos, n, c, t,
                 causal=causal, has_context=has_context, has_targets=has_targets,
@@ -407,13 +412,13 @@ def _bwd_dkv_kernel(
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, num_qb - q_start_blk, body, 0, unroll=False)
+        jax.lax.fori_loop(jnp.int32(0), (num_qb - q_start_blk).astype(jnp.int32), body, jnp.int32(0), unroll=False)
         dk_buf[:] = acck_ref[:].astype(dk_buf.dtype)
         dv_buf[:] = accv_ref[:].astype(dv_buf.dtype)
-        w1 = pltpu.make_async_copy(dk_buf, dk_hbm.at[pl.ds(s, BK)], sem.at[0])
-        w2 = pltpu.make_async_copy(dv_buf, dv_hbm.at[pl.ds(s, BK)], sem.at[1])
+        w1 = pltpu.make_async_copy(dk_buf, dk_hbm.at[pl.ds(s, BK)], sem.at[jnp.int32(0)])
+        w2 = pltpu.make_async_copy(dv_buf, dv_hbm.at[pl.ds(s, BK)], sem.at[jnp.int32(1)])
         w1.start()
         w2.start()
         w1.wait()

@@ -40,16 +40,27 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def param_shardings(mesh: Mesh, abstract_params):
-    """NamedShardings from flax nn.with_partitioning metadata."""
+def param_shardings(mesh: Mesh, params):
+    """(unboxed_params, NamedShardings) from flax nn.with_partitioning
+    metadata. flax `Partitioned` boxes are pytree nodes, so sharding
+    placement happens on the unboxed tree."""
     import flax.linen as nn
+    from flax.core import meta
 
-    specs = nn.get_partition_spec(abstract_params)
-    return jax.tree.map(
+    specs = nn.get_partition_spec(params)
+    unboxed = meta.unbox(params)
+    shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s),
         specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+    return unboxed, shardings
+
+
+def shard_params(mesh: Mesh, params):
+    """device_put params onto the mesh per their partitioning metadata."""
+    unboxed, shardings = param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, unboxed, shardings)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
