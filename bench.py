@@ -55,6 +55,7 @@ def main():
     LAYERS = 8 if on_tpu else 2
     HIDDEN, HEADS, DH = (1024, 4, 256) if on_tpu else (64, 2, 32)
     CAND = 128 if on_tpu else 8
+    EMB_DIM = 128 if on_tpu else 32  # table dim (reference: dim-128 tables)
 
     hstu_cfg = HSTUConfig(
         hidden_size=HIDDEN,
@@ -69,6 +70,7 @@ def main():
         ),
         target_group_size=1,
         recompute_layer=True,
+        item_embedding_dim=EMB_DIM,
     )
     task_cfg = RankingConfig(
         embedding_configs=(),  # all tables dynamic
@@ -77,8 +79,8 @@ def main():
     )
     table = DynamicEmbeddingTable(
         DynamicEmbTableOptions(
-            embedding_dim=HIDDEN,
-            max_capacity=(1 << 21) if on_tpu else (1 << 12),
+            embedding_dim=EMB_DIM,
+            max_capacity=(1 << 22) if on_tpu else (1 << 12),
             bucket_capacity=128,
         ),
         SparseOptimizerArgs(optimizer="rowwise_adagrad", learning_rate=0.01),
