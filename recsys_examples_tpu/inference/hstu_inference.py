@@ -81,12 +81,14 @@ class PagedHSTUInferLayer(nn.Module):
     def __call__(
         self,
         x: jax.Array,            # [B, S, D] new tokens
-        cached_k: jax.Array,     # [B, Nc, H, dh]
-        cached_v: jax.Array,
+        cached_k: Optional[jax.Array],   # [B, Nc, H, dh] (dense path)
+        cached_v: Optional[jax.Array],
         cached_len: jax.Array,   # [B]
         new_lens: jax.Array,     # [B] valid new tokens
         num_targets: Optional[jax.Array],
         scaling_seqlen: int,
+        paged: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+        attn_backend: str = "auto",
     ):
         cfg = self.config
         H, dh, D = cfg.num_attention_heads, cfg.kv_channels, cfg.hidden_size
@@ -110,29 +112,49 @@ class PagedHSTUInferLayer(nn.Module):
         q = uvqk[..., 2 * dh:3 * dh]
         k_new = uvqk[..., 3 * dh:4 * dh]
 
-        # full K/V = cached ++ new (positions cached_len + i)
-        Nc = cached_k.shape[1]
-        N = Nc + S
-        full_k = jnp.concatenate([cached_k, k_new], axis=1)
-        full_v = jnp.concatenate([cached_v, v_new], axis=1)
-        # move new tokens into their true positions: cached part is already
-        # position-aligned [0, cached_len); new token i sits at
-        # cached_len + i but is stored at Nc + i -> build index map
-        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
-        # gather order: for position p < cached_len -> p;
-        # for p in [cached_len, cached_len+new) -> Nc + (p - cached_len)
-        cl = cached_len[:, None]
-        src = jnp.where(pos < cl, pos, Nc + (pos - cl))
-        src = jnp.clip(src, 0, N - 1)
-        full_k = jnp.take_along_axis(full_k, src[:, :, None, None], axis=1)
-        full_v = jnp.take_along_axis(full_v, src[:, :, None, None], axis=1)
+        if paged is not None:
+            # paged path: read cached K/V straight from the page pool
+            # (Pallas kernel on TPU; jnp twin elsewhere)
+            from recsys_examples_tpu.ops.pallas.paged_hstu_attention import (
+                paged_hstu_delta_attention,
+            )
 
-        q_pos = cached_len[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-        kv_len = cached_len + new_lens
-        attn = delta_attention(
-            q, full_k, full_v, q_pos, kv_len, num_targets,
-            alpha=1.0 / (dh ** 0.5), scaling_seqlen=scaling_seqlen,
-        ).reshape(B, S, H * dh)
+            k_pages, v_pages, page_table = paged
+            attn = paged_hstu_delta_attention(
+                q, k_pages, v_pages, page_table, cached_len,
+                k_new, v_new, new_lens, num_targets,
+                alpha=1.0 / (dh ** 0.5), scaling_seqlen=scaling_seqlen,
+                backend=attn_backend,
+            ).reshape(B, S, H * dh)
+        else:
+            # full K/V = cached ++ new (positions cached_len + i)
+            Nc = cached_k.shape[1]
+            N = Nc + S
+            full_k = jnp.concatenate([cached_k, k_new], axis=1)
+            full_v = jnp.concatenate([cached_v, v_new], axis=1)
+            # move new tokens into their true positions: cached part is
+            # already position-aligned [0, cached_len); new token i sits at
+            # cached_len + i but is stored at Nc + i -> build index map
+            pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+            # gather order: for position p < cached_len -> p;
+            # for p in [cached_len, cached_len+new) -> Nc + (p - cached_len)
+            cl = cached_len[:, None]
+            src = jnp.where(pos < cl, pos, Nc + (pos - cl))
+            src = jnp.clip(src, 0, N - 1)
+            full_k = jnp.take_along_axis(
+                full_k, src[:, :, None, None], axis=1
+            )
+            full_v = jnp.take_along_axis(
+                full_v, src[:, :, None, None], axis=1
+            )
+
+            q_pos = (cached_len[:, None]
+                     + jnp.arange(S, dtype=jnp.int32)[None, :])
+            kv_len = cached_len + new_lens
+            attn = delta_attention(
+                q, full_k, full_v, q_pos, kv_len, num_targets,
+                alpha=1.0 / (dh ** 0.5), scaling_seqlen=scaling_seqlen,
+            ).reshape(B, S, H * dh)
 
         y = nn.LayerNorm(
             epsilon=cfg.layernorm_epsilon,
@@ -159,16 +181,23 @@ class HSTUBlockInference(nn.Module):
     @nn.compact
     def __call__(
         self, x, cached_k, cached_v, cached_len, new_lens, num_targets,
-        scaling_seqlen,
+        scaling_seqlen, paged=None, attn_backend="auto",
     ):
         cfg = self.config
         ks, vs = [], []
         for i in range(cfg.num_layers):
+            layer_paged = None
+            if paged is not None:
+                k_pages, v_pages, page_table = paged
+                layer_paged = (k_pages[i], v_pages[i], page_table)
             x, k_new, v_new = PagedHSTUInferLayer(
                 cfg, name=f"layer_{i}"
             )(
-                x, cached_k[i], cached_v[i], cached_len, new_lens,
-                num_targets, scaling_seqlen,
+                x,
+                None if cached_k is None else cached_k[i],
+                None if cached_v is None else cached_v[i],
+                cached_len, new_lens, num_targets, scaling_seqlen,
+                paged=layer_paged, attn_backend=attn_backend,
             )
             ks.append(k_new)
             vs.append(v_new)

@@ -48,11 +48,11 @@ class InferenceDenseModule(nn.Module):
     @nn.compact
     def __call__(
         self, x, cached_k, cached_v, cached_len, new_lens, num_targets,
-        scaling_seqlen,
+        scaling_seqlen, paged=None, attn_backend="auto",
     ):
         out, ks, vs = HSTUBlockInference(self.config, name="hstu_block")(
             x, cached_k, cached_v, cached_len, new_lens, num_targets,
-            scaling_seqlen,
+            scaling_seqlen, paged=paged, attn_backend=attn_backend,
         )
         # L2 normalize (postprocessor parity) then head
         v32 = out.astype(jnp.float32)
@@ -89,8 +89,16 @@ class InferenceRankingGR:
         lengths: jax.Array,     # [B]
         num_candidates: Optional[jax.Array],
         max_new: int,
+        use_paged_kernel: Optional[bool] = None,
     ):
-        """Returns (logits [B, max_new, num_tasks], new_lens [B])."""
+        """Returns (logits [B, max_new, num_tasks], new_lens [B]).
+
+        use_paged_kernel=True reads cached K/V straight from the page pool
+        in the attention kernel (no dense gather materialization); default
+        auto-enables it on TPU.
+        """
+        if use_paged_kernel is None:
+            use_paged_kernel = jax.default_backend() == "tpu"
         kv, cfg = self.kv_state, self.kv_config
         slots, cached = lookup_kvcache(kv, user_ids)
         # only history can be cached; candidates always recompute
@@ -108,15 +116,32 @@ class InferenceRankingGR:
             self.item_table, new_ids.reshape(-1).astype(jnp.int64)
         ).reshape(new_ids.shape[0], max_new, -1)
         emb = emb.astype(self.config.dtype)
-        ck, cv, clen = gather_kvcache(kv, cfg, slots, cfg.max_cached_len)
-        clen = jnp.minimum(clen, cached)
-        logits, ks, vs = self.module.apply(
-            {"params": self.dense_params},
-            emb, ck, cv, clen, new_lens, num_candidates,
+        scaling = (
             self.config.scaling_seqlen
             if self.config.scaling_seqlen > 0
-            else cfg.max_cached_len,
+            else cfg.max_cached_len
         )
+        if use_paged_kernel:
+            page_table = kv.user_pages[jnp.maximum(slots, 0)]
+            page_table = jnp.where(
+                slots[:, None] >= 0, page_table, -1
+            )
+            clen = jnp.minimum(
+                jnp.where(slots >= 0, kv.user_len[jnp.maximum(slots, 0)], 0),
+                cached,
+            )
+            logits, ks, vs = self.module.apply(
+                {"params": self.dense_params},
+                emb, None, None, clen, new_lens, num_candidates, scaling,
+                paged=(kv.k_pages, kv.v_pages, page_table),
+            )
+        else:
+            ck, cv, clen = gather_kvcache(kv, cfg, slots, cfg.max_cached_len)
+            clen = jnp.minimum(clen, cached)
+            logits, ks, vs = self.module.apply(
+                {"params": self.dense_params},
+                emb, ck, cv, clen, new_lens, num_candidates, scaling,
+            )
         # append only the non-candidate new tokens to the cache
         keep = new_lens - (
             num_candidates if num_candidates is not None else 0

@@ -27,11 +27,11 @@ from recsys_examples_tpu.models.beam_search import (
     BeamState,
     decode_paths,
     first_expand,
-    gather_beams,
     init_beam,
     propagate,
 )
 from recsys_examples_tpu.modules.transformer import (
+    BeamAttnInputs,
     TransformerStack,
     make_padded_causal_mask,
 )
@@ -220,17 +220,24 @@ class SIDGRModel(nn.Module):
         return decode_paths(state), state.scores
 
     def generate_beam_decode(
-        self, batch: SIDBatch, beam_width: Optional[int] = None
+        self, batch: SIDBatch, beam_width: Optional[int] = None,
+        attn_backend: str = "auto",
     ):
         """KV-cached beam decode: one prefill over [history, BOS], then H-1
-        steps attending to (context KV + per-beam decode KV with ancestry
-        gather) — reference: gpt_model.py:853 + gr_decode_atten.
+        steps through the fused beam-decode attention kernel — context KV is
+        read once per batch (never repeated over beams) and per-beam KV is
+        never reordered: each step passes ancestry indices instead
+        (reference: gpt_model.py:853 `generate_beam_decode` +
+        gr_decode_atten/interface.py:835; ancestry construction mirrors
+        beam_search.py:161 `build_beam_topk_indices`).
 
         Returns (paths [B, W, H], scores [B, W])."""
         cfg = self.config
         W = beam_width or cfg.beam_width
         H = cfg.num_hierarchies
         B = batch.batch_size
+        L = cfg.num_layers
+        nH, dh = cfg.num_heads, cfg.head_dim
         hist = self._embed_history(batch)
         N0 = batch.max_history_tokens + 1
         base = jagged_to_padded_dense(hist, batch.history_offsets, N0)
@@ -250,64 +257,53 @@ class SIDGRModel(nn.Module):
         state = init_beam(B, W, H)
         state = first_expand(state, logp0)
 
-        # beam KV: [L][B*W, H-1, heads, dh] decode-side keys/values
-        beam_k = None
-        beam_v = None
-        ctx_valid = jnp.arange(N0, dtype=jnp.int32)[None] <= lens[:, None]
+        # per-layer decode-side KV store [B, H-1, W, nH, dh] (never
+        # reordered; ancestry indices resolve paths instead)
+        beam_k = [
+            jnp.zeros((B, H - 1, W, nH, dh), cfg.dtype) for _ in range(L)
+        ]
+        beam_v = [
+            jnp.zeros((B, H - 1, W, nH, dh), cfg.dtype) for _ in range(L)
+        ]
+        # A[:, n, w] = beam slot holding step-n KV on current beam w's path
+        A = jnp.zeros((B, H - 1, W), jnp.int32)
+        ctx_lens = lens + 1  # history + BOS
 
         for h in range(1, H):
-            tok = state.tokens[:, h - 1, :].reshape(B * W)
-            x = self._book(h - 1)(tok).astype(cfg.dtype)[:, None, :]  # [BW,1,D]
-            # reorder existing beam KV by this step's parents
-            if beam_k is not None:
-                par = state.parents[:, h - 1, :]
-                beam_k = [
-                    gather_beams(
-                        k.reshape(B, W, *k.shape[1:]), par
-                    ).reshape(B * W, *k.shape[1:])
-                    for k in beam_k
-                ]
-                beam_v = [
-                    gather_beams(
-                        v.reshape(B, W, *v.shape[1:]), par
-                    ).reshape(B * W, *v.shape[1:])
-                    for v in beam_v
-                ]
-            # context+beam(+self) attention mask for a single query token
-            steps_done = h - 1  # beam tokens cached so far
-            ctx_mask = jnp.repeat(ctx_valid, W, axis=0)  # [BW, N0]
-            bm = jnp.ones((B * W, steps_done + 1), bool)  # beams + self
-            qmask = jnp.concatenate([ctx_mask, bm], axis=1)[:, None, :]
-            kv_caches = []
-            for li in range(cfg.num_layers):
-                ck, cv = ctx_kv[li]
-                ckw = jnp.repeat(ck, W, axis=0)
-                cvw = jnp.repeat(cv, W, axis=0)
-                if beam_k is not None:
-                    ckw = jnp.concatenate([ckw, beam_k[li]], axis=1)
-                    cvw = jnp.concatenate([cvw, beam_v[li]], axis=1)
-                kv_caches.append((ckw, cvw))
+            par = state.parents[:, h - 1, :]  # [B, W]
+            if h > 1:
+                # re-root ancestry through this step's parents
+                reroot = jnp.take_along_axis(
+                    A[:, : h - 1], par[:, None, :], axis=2
+                )
+                A = A.at[:, : h - 1].set(reroot)
+            tok = state.tokens[:, h - 1, :]  # [B, W]
+            x = self._book(h - 1)(tok).astype(cfg.dtype)  # [B, W, D]
+            beam_inputs = [
+                BeamAttnInputs(
+                    k_ctx=ctx_kv[li][0], v_ctx=ctx_kv[li][1],
+                    ctx_lens=ctx_lens,
+                    k_beam=beam_k[li][:, : h - 1] if h > 1 else None,
+                    v_beam=beam_v[li][:, : h - 1] if h > 1 else None,
+                    ancestry=A[:, : h - 1] if h > 1 else None,
+                    backend=attn_backend,
+                )
+                for li in range(L)
+            ]
             hidden, new_kv = self.decoder(
-                x, mask=qmask, kv_caches=kv_caches, return_kv=True,
-                train=False,
+                x, train=False, beam_attn=beam_inputs
             )
-            # cache only the NEW token's kv (last position)
-            new_k = [kv[0][:, -1:, :, :] for kv in new_kv]
-            new_v = [kv[1][:, -1:, :, :] for kv in new_kv]
-            if beam_k is None:
-                beam_k, beam_v = new_k, new_v
-            else:
-                beam_k = [
-                    jnp.concatenate([a, b], axis=1)
-                    for a, b in zip(beam_k, new_k)
-                ]
-                beam_v = [
-                    jnp.concatenate([a, b], axis=1)
-                    for a, b in zip(beam_v, new_v)
-                ]
-            hs = hidden[:, 0, :]
+            for li in range(L):
+                beam_k[li] = beam_k[li].at[:, h - 1].set(new_kv[li][0])
+                beam_v[li] = beam_v[li].at[:, h - 1].set(new_kv[li][1])
+            # the step-(h-1) KV lives at its own beam slot
+            A = A.at[:, h - 1].set(
+                jnp.broadcast_to(
+                    jnp.arange(W, dtype=jnp.int32)[None], (B, W)
+                )
+            )
             logp = jax.nn.log_softmax(
-                self._head(h)(hs.astype(jnp.float32)), axis=-1
-            ).reshape(B, W, cfg.codebook_size)
+                self._head(h)(hidden.astype(jnp.float32)), axis=-1
+            )
             state = propagate(state, logp)
         return decode_paths(state), state.scores

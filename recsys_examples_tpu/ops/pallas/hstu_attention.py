@@ -140,6 +140,8 @@ def _fwd_kernel(
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
     b = pl.program_id(0)
+    alpha = jnp.float32(alpha)
+    inv_scaling = jnp.float32(inv_scaling)
     qi = pl.program_id(1)
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
     q_lo = qi * jnp.int32(BQ)
@@ -227,6 +229,8 @@ def _bwd_dq_kernel(
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
     b = pl.program_id(0)
+    alpha = jnp.float32(alpha)
+    inv_scaling = jnp.float32(inv_scaling)
     qi = pl.program_id(1)
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
     q_lo = qi * jnp.int32(BQ)
@@ -323,6 +327,8 @@ def _bwd_dkv_kernel(
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
     b = pl.program_id(0)
+    alpha = jnp.float32(alpha)
+    inv_scaling = jnp.float32(inv_scaling)
     ki = pl.program_id(1)
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
     k_lo = ki * jnp.int32(BK)

@@ -1,0 +1,297 @@
+"""Pallas TPU paged HSTU (SiLU) delta attention for KV-cached inference.
+
+TPU-native counterpart of the reference's paged HSTU inference kernel
+(examples/hstu/modules/paged_hstu_infer_layer.py:41 `PagedHSTUInferLayer`:
+append_kvcache -> paged HSTU attention; mask semantics:
+examples/hstu/ops/pt_ops/pt_hstu_attention.py:199
+`_get_delta_valid_attn_mask`).
+
+New-token queries attend over [user's cached pages ++ the new tokens
+themselves]. K/V pages are read DIRECTLY from the paged pool via the page
+table (scalar-prefetched into SMEM so each page's DMA address is known
+before the body runs) — no dense gather materialization.
+
+SiLU attention has no softmax statistics, so the page loop is a plain
+accumulate: acc += (silu(q k^T alpha)/scaling * mask) @ v. Double-buffered
+page DMA overlaps the per-page MXU work.
+
+Mask (delta-q semantics):
+  valid(row=global q pos, col) = (col == row) or (dist > 0), with
+  row/col clamped to history end when num_targets is set (targets attend
+  history + themselves but not other targets), and col < kv_len.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def paged_hstu_delta_attention_ref(
+    q: jax.Array,          # [B, S, H, dh] new-token queries
+    k_pages: jax.Array,    # [P, pg, H, dh] one layer's key pages
+    v_pages: jax.Array,    # [P, pg, H, dh]
+    page_table: jax.Array,  # [B, maxp] int32 page ids (-1 unset)
+    cached_len: jax.Array,  # [B] int32 cached tokens
+    new_k: jax.Array,      # [B, S, H, dh] the new tokens' keys
+    new_v: jax.Array,      # [B, S, H, dh]
+    new_lens: jax.Array,   # [B] valid new tokens
+    num_targets: jax.Array | None,  # [B] or None
+    alpha: float,
+    scaling_seqlen: float,
+) -> jax.Array:
+    """jnp twin: gathers pages densely then applies delta attention."""
+    B, S, H, dh = q.shape
+    pg = k_pages.shape[1]
+    maxp = page_table.shape[1]
+    N = maxp * pg
+    pid = jnp.clip(page_table, 0, k_pages.shape[0] - 1)  # [B, maxp]
+    kc = k_pages[pid].reshape(B, N, H, dh)
+    vc = v_pages[pid].reshape(B, N, H, dh)
+    kv_len = cached_len + new_lens
+    # splice new tokens at positions cached_len + i
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    rel = pos - cached_len[:, None]
+    is_new = (rel >= 0) & (rel < S)
+    reli = jnp.clip(rel, 0, S - 1)
+    take = lambda cached, new: jnp.where(
+        is_new[..., None, None],
+        jnp.take_along_axis(new, reli[..., None, None], axis=1),
+        cached,
+    )
+    kc = take(kc, new_k)
+    vc = take(vc, new_v)
+    sc = jnp.einsum(
+        "bshd,bnhd->bhsn", q.astype(jnp.float32), kc.astype(jnp.float32)
+    ) * alpha
+    p = jax.nn.silu(sc) / scaling_seqlen
+    row = (cached_len[:, None] + jnp.arange(S, dtype=jnp.int32)[None])[
+        :, :, None
+    ]                                                   # [B, S, 1]
+    col = jnp.broadcast_to(pos[:, None, :], (B, S, N))  # [B, S, N]
+    if num_targets is not None:
+        hist_end = (kv_len - num_targets).astype(jnp.int32)[:, None, None]
+        rowc = jnp.minimum(row, hist_end)
+        colc = jnp.minimum(col, hist_end)
+    else:
+        rowc, colc = row, col
+    valid = (col == row) | (rowc - colc > 0)
+    valid &= col < kv_len[:, None, None]
+    # zero padded query rows (i >= new_lens)
+    valid &= (jnp.arange(S, dtype=jnp.int32)[None, :] <
+              new_lens[:, None])[:, :, None]
+    p = p * valid[:, None].astype(p.dtype)
+    out = jnp.einsum("bhsn,bnhd->bshd", p, vc.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _kernel(
+    meta_ref,    # scalar prefetch: [B*(3+maxp)] = cached_len ++ new_lens ++
+                 # num_targets ++ page_table rows
+    q_hbm, kp_hbm, vp_hbm, nk_hbm, nv_hbm,
+    o_hbm,
+    q_buf, nk_buf, nv_buf, k_buf, v_buf, acc_ref,
+    sem,
+    *, B, S, H, dh, PG, MAXP, alpha, inv_scaling, has_targets,
+):
+    b = pl.program_id(0)
+    # x64 is enabled framework-wide; keep scalars 32-bit for Mosaic
+    alpha = jnp.float32(alpha)
+    inv_scaling = jnp.float32(inv_scaling)
+    cached = meta_ref[b]
+    new_len = meta_ref[B + b]
+    n_tgt = meta_ref[2 * B + b] if has_targets else jnp.int32(0)
+    kv_len = cached + new_len
+
+    dq = pltpu.make_async_copy(q_hbm.at[b], q_buf, sem.at[jnp.int32(0)])
+    dnk = pltpu.make_async_copy(nk_hbm.at[b], nk_buf, sem.at[jnp.int32(1)])
+    dnv = pltpu.make_async_copy(nv_hbm.at[b], nv_buf, sem.at[jnp.int32(2)])
+    dq.start()
+    dnk.start()
+    dnv.start()
+
+    num_pages = (cached + jnp.int32(PG) - 1) // jnp.int32(PG)
+
+    def page_dma(slot, j):
+        pid = meta_ref[3 * B + b * MAXP + j]
+        pid = jnp.maximum(pid, 0)
+        return (
+            pltpu.make_async_copy(kp_hbm.at[pid], k_buf.at[slot], sem.at[jnp.int32(3) + slot]),
+            pltpu.make_async_copy(vp_hbm.at[pid], v_buf.at[slot], sem.at[jnp.int32(5) + slot]),
+        )
+
+    @pl.when(num_pages > 0)
+    def _start0():
+        a, bb = page_dma(jnp.int32(0), jnp.int32(0))
+        a.start()
+        bb.start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    dq.wait()
+    qf = q_buf[:].astype(jnp.float32)          # [S, H*dh]
+    row = cached + jax.lax.broadcasted_iota(jnp.int32, (S, PG), 0)
+    hist_end = kv_len - n_tgt
+
+    def mask_for(col):
+        rowc = jnp.minimum(row, hist_end)
+        colc = jnp.minimum(col, hist_end)
+        valid = (col == row) | (rowc - colc > 0)
+        # page loop covers only genuinely-cached positions; the new tokens
+        # (positions cached..kv_len) come from the tail block
+        valid &= col < cached
+        valid &= jax.lax.broadcasted_iota(jnp.int32, (S, PG), 0) < new_len
+        return valid.astype(jnp.float32)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, jnp.int32(2))
+
+        @pl.when(j + 1 < num_pages)
+        def _next():
+            a, bb = page_dma(jax.lax.rem(j + 1, jnp.int32(2)), j + 1)
+            a.start()
+            bb.start()
+
+        a, bb = page_dma(slot, j)
+        a.wait()
+        bb.wait()
+        kf = k_buf[slot]
+        vf = v_buf[slot]
+        col = j * jnp.int32(PG) + jax.lax.broadcasted_iota(
+            jnp.int32, (S, PG), 1
+        )
+        m = mask_for(col)
+        for h in range(H):
+            hs = slice(h * dh, (h + 1) * dh)
+            sc = jax.lax.dot_general(
+                qf[:, hs], kf[:, hs],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * alpha
+            p = jax.nn.silu(sc) * inv_scaling * m
+            acc_ref[:, hs] += jax.lax.dot_general(
+                p.astype(vf.dtype), vf[:, hs],
+                preferred_element_type=jnp.float32,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+            )
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), num_pages, body, jnp.int32(0),
+                      unroll=False)
+
+    # tail: the new tokens' own K/V (positions cached + [0, S))
+    dnk.wait()
+    dnv.wait()
+    nk = nk_buf[:]
+    nv = nv_buf[:]
+    col_n = cached + jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    row_n = cached + jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    rowc = jnp.minimum(row_n, hist_end)
+    colc = jnp.minimum(col_n, hist_end)
+    valid = (col_n == row_n) | (rowc - colc > 0)
+    valid &= col_n < kv_len
+    valid &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) < new_len
+    mt = valid.astype(jnp.float32)
+    for h in range(H):
+        hs = slice(h * dh, (h + 1) * dh)
+        sc = jax.lax.dot_general(
+            q_buf[:].astype(jnp.float32)[:, hs], nk[:, hs].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * alpha
+        p = jax.nn.silu(sc) * inv_scaling * mt
+        acc_ref[:, hs] += jax.lax.dot_general(
+            p.astype(nv.dtype), nv[:, hs],
+            preferred_element_type=jnp.float32,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+        )
+
+    o_buf = acc_ref[:].astype(o_hbm.dtype)
+    # write via VMEM->HBM copy through nk_buf-sized scratch (reuse q_buf
+    # shape): allocate dedicated out buffer instead
+    q_buf[:] = o_buf.astype(q_buf.dtype)
+    do = pltpu.make_async_copy(q_buf, o_hbm.at[b], sem.at[jnp.int32(0)])
+    do.start()
+    do.wait()
+
+
+def paged_hstu_delta_attention(
+    q, k_pages, v_pages, page_table, cached_len, new_k, new_v, new_lens,
+    num_targets, alpha: float, scaling_seqlen: float,
+    *, backend: str = "auto", interpret: bool = False,
+):
+    """Paged SiLU delta attention. Returns [B, S, H, dh].
+
+    k_pages/v_pages: [P, pg, H, dh] single-layer pools.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "jnp":
+        return paged_hstu_delta_attention_ref(
+            q, k_pages, v_pages, page_table, cached_len, new_k, new_v,
+            new_lens, num_targets, alpha, scaling_seqlen,
+        )
+    B, S0, H, dh0 = q.shape
+    P, PG = k_pages.shape[:2]
+    MAXP = page_table.shape[1]
+    has_targets = num_targets is not None
+    # Mosaic alignment: lane dim (per-head) in 128 multiples, new-token rows
+    # in sublane (8) multiples. Zero-padded K columns add zero scores;
+    # padded rows/columns are sliced away below.
+    rup = lambda x, m: ((x + m - 1) // m) * m
+    dh = rup(dh0, 128)
+    S = rup(S0, 8)
+
+    def pad_to(x, shape):
+        return jnp.pad(x, [(0, t - c) for c, t in zip(x.shape, shape)])
+
+    q = pad_to(q, (B, S, H, dh))
+    new_k = pad_to(new_k, (B, S, H, dh))
+    new_v = pad_to(new_v, (B, S, H, dh))
+    k_pages = pad_to(k_pages, (P, PG, H, dh))
+    v_pages = pad_to(v_pages, (P, PG, H, dh))
+    meta = jnp.concatenate([
+        cached_len.astype(jnp.int32),
+        new_lens.astype(jnp.int32),
+        (num_targets.astype(jnp.int32) if has_targets
+         else jnp.zeros((B,), jnp.int32)),
+        page_table.astype(jnp.int32).reshape(-1),
+    ])
+    kernel = functools.partial(
+        _kernel, B=B, S=S, H=H, dh=dh, PG=PG, MAXP=MAXP,
+        alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
+        has_targets=has_targets,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((S, H * dh), q.dtype),
+                pltpu.VMEM((S, H * dh), new_k.dtype),
+                pltpu.VMEM((S, H * dh), new_v.dtype),
+                pltpu.VMEM((2, PG, H * dh), k_pages.dtype),
+                pltpu.VMEM((2, PG, H * dh), v_pages.dtype),
+                pltpu.VMEM((S, H * dh), jnp.float32),
+                pltpu.SemaphoreType.DMA((7,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, H * dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        meta,
+        q.reshape(B, S, H * dh),
+        k_pages.reshape(P, PG, H * dh),
+        v_pages.reshape(P, PG, H * dh),
+        new_k.reshape(B, S, H * dh),
+        new_v.reshape(B, S, H * dh),
+    )
+    return out.reshape(B, S, H, dh)[:, :S0, :, :dh0]

@@ -95,3 +95,36 @@ def test_cached_inference_matches_fresh():
         np.asarray(logits2[:, 4:6]), np.asarray(logits_ref[:, 10:12]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_paged_kernel_path_matches_gather_path():
+    """The paged-pool attention path must equal the dense gather path."""
+    users = jnp.asarray([7, 8], jnp.int64)
+    rng = np.random.default_rng(1)
+    seq = jnp.asarray(rng.integers(1, 99, size=(2, 12)), jnp.int64)
+    ncand = jnp.asarray([2, 2], jnp.int32)
+    l1 = jnp.asarray([8, 8], jnp.int32)
+    l2 = jnp.asarray([12, 12], jnp.int32)
+
+    r_gather = _build()
+    r_paged = _build()
+    r_paged.dense_params = r_gather.dense_params
+
+    g1, _ = r_gather.forward_with_kvcache(
+        users, seq, l1, ncand, 8, use_paged_kernel=False
+    )
+    p1, _ = r_paged.forward_with_kvcache(
+        users, seq, l1, ncand, 8, use_paged_kernel=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(p1), rtol=1e-4, atol=1e-5
+    )
+    g2, _ = r_gather.forward_with_kvcache(
+        users, seq, l2, ncand, 8, use_paged_kernel=False
+    )
+    p2, _ = r_paged.forward_with_kvcache(
+        users, seq, l2, ncand, 8, use_paged_kernel=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(g2), np.asarray(p2), rtol=1e-4, atol=1e-5
+    )
