@@ -21,6 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# compiles are expensive on this host (single core, remote TPU compile);
+# persist them across bench runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def main():
     from recsys_examples_tpu.data.hstu_batch import random_hstu_batch
@@ -93,7 +99,7 @@ def main():
     batch = random_hstu_batch(
         seed=0, batch_size=BATCH, max_history_len=MAX_HIST,
         item_vocab=50_000_000, max_num_candidates=CAND, num_tasks=1,
-        zipf_a=1.2,
+        zipf_a=1.2, token_capacity=-1,
     )
     rng = jax.random.PRNGKey(0)
     state = trainer.init(rng, batch)

@@ -75,6 +75,7 @@ def random_hstu_batch(
     num_tasks: int = 1,
     zipf_a: float = 1.2,
     full_capacity: bool = False,
+    token_capacity: int = 0,
 ) -> HSTUBatch:
     """Synthetic batch with Zipf-distributed history lengths
     (reference: hstu_batch.py:376 `HSTUBatch.random`).
@@ -93,6 +94,17 @@ def random_hstu_batch(
     item_len = hist + (ncand if ncand is not None else 0)
     item_max = max_history_len + max_num_candidates
     cap = batch_size * item_max
+    # token_capacity: static values-buffer size. Real pipelines bucket this
+    # near sum(len) — the varlen kernels and the embedding path then do
+    # work proportional to actual tokens, not to batch*max_len (the
+    # reference's packed-KJT property). -1 = auto-tight (total tokens
+    # rounded up to 2048).
+    if token_capacity == -1:
+        token_capacity = int(-(-int(item_len.sum()) // 2048) * 2048)
+    if token_capacity > 0:
+        total = int(item_len.sum())
+        assert token_capacity >= total, (token_capacity, total)
+        cap = min(cap, token_capacity)
 
     def mk_ids(lengths, capacity, vocab):
         total = int(lengths.sum())

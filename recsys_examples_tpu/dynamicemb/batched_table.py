@@ -37,7 +37,8 @@ from recsys_examples_tpu.dynamicemb.hashtable import (
 from recsys_examples_tpu.dynamicemb.initializer import initialize_embeddings
 from recsys_examples_tpu.dynamicemb.optimizer import (
     SparseOptimizerArgs,
-    initial_row,
+    initial_opt_row,
+    opt_dim_for,
     sparse_update,
     value_dim_for,
 )
@@ -62,6 +63,8 @@ class DynamicEmbeddingTable:
         self.options = options
         self.opt_args = opt_args
         self.dim = options.embedding_dim
+        self.opt_dim = opt_dim_for(opt_args.optimizer, self.dim)
+        # total floats per row (memory accounting)
         self.value_dim = value_dim_for(opt_args.optimizer, self.dim)
         self.capacity = options.sharded_capacity(world_size)
 
@@ -69,8 +72,8 @@ class DynamicEmbeddingTable:
     def init_state(self) -> DynamicEmbTableState:
         opts = self.options
         table = create_table_state(
-            self.capacity, opts.bucket_capacity, self.value_dim,
-            opts.value_dtype,
+            self.capacity, opts.bucket_capacity, self.dim,
+            opts.value_dtype, opt_dim=self.opt_dim,
         )
         counter = None
         if opts.admission_threshold > 0:
@@ -144,13 +147,17 @@ class DynamicEmbeddingTable:
             unique_keys, self.dim, opts.initializer_args,
             opts.value_dtype,
         )
-        init_rows = initial_row(self.opt_args.optimizer, init_emb, self.opt_args)
+        init_opt = initial_opt_row(
+            self.opt_args.optimizer, u, self.dim, self.opt_args,
+            opts.value_dtype,
+        )
         # only misses insert new rows; hits refresh scores
         table, slots, _ = insert_and_evict(
             state.table,
             insert_keys,
             scores,
-            init_rows,
+            init_emb,
+            init_opt,
             update_existing_values=False,
             rounds=opts.insert_rounds,
         )
@@ -163,7 +170,7 @@ class DynamicEmbeddingTable:
             )
 
         safe = jnp.clip(slots, 0, table.capacity - 1)
-        emb = table.values[safe, : self.dim]
+        emb = table.values[safe]
         stored = slots >= 0
         emb = jnp.where(stored[:, None], emb, init_emb)
         emb = jnp.where(active[:, None], emb, jnp.zeros((), emb.dtype))
@@ -181,7 +188,7 @@ class DynamicEmbeddingTable:
         batched_dynamicemb_function.py:836)."""
         slots, found = lookup(state.table, unique_keys)
         safe = jnp.clip(slots, 0, state.table.capacity - 1)
-        emb = state.table.values[safe, : self.dim]
+        emb = state.table.values[safe]
         miss_emb = initialize_embeddings(
             unique_keys, self.dim, self.options.eval_initializer_args,
             self.options.value_dtype,

@@ -80,7 +80,7 @@ class DynamicEmbTableOptions:
     admission_threshold: int = 0            # >0 enables frequency admission
     value_dtype: jnp.dtype = jnp.float32
     # insert conflict-resolution rounds (vectorized claim/retry passes)
-    insert_rounds: int = 4
+    insert_rounds: int = 16
     safe_check_mode: bool = False
 
     def sharded_capacity(self, world_size: int) -> int:

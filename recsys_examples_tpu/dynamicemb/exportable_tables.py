@@ -46,7 +46,7 @@ def freeze_table(
     (reference: twin-module training->inference conversion)."""
     return InferenceTableState(
         keys=state.table.keys,
-        values=state.table.values[:, : table.dim],
+        values=state.table.values,
     )
 
 

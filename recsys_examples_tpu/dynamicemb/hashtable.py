@@ -39,7 +39,12 @@ from recsys_examples_tpu.dynamicemb.dynamicemb_config import (
 class HashTableState:
     keys: jax.Array     # [num_buckets, C] int64, EMPTY_KEY = free
     scores: jax.Array   # [num_buckets, C] int64
-    values: jax.Array   # [num_buckets * C, value_dim] float
+    values: jax.Array   # [num_buckets * C, value_dim] float (embedding only)
+    # optimizer state lives in its own array rather than as extra columns
+    # of `values`: odd row widths (e.g. dim+1 for rowwise adagrad) make XLA
+    # pick a transposed layout for the multi-GB values buffer and insert
+    # two full-table layout copies per step
+    opt: Optional[jax.Array]  # [num_buckets * C, opt_dim] float or None
     # stats (shape-(1,) int64 so they shard per-device under shard_map)
     inserted: jax.Array
     evicted: jax.Array
@@ -67,6 +72,7 @@ def create_table_state(
     bucket_capacity: int,
     value_dim: int,
     value_dtype=jnp.float32,
+    opt_dim: int = 0,
 ) -> HashTableState:
     assert capacity % bucket_capacity == 0
     nb = capacity // bucket_capacity
@@ -74,6 +80,8 @@ def create_table_state(
         keys=jnp.full((nb, bucket_capacity), EMPTY_KEY, jnp.int64),
         scores=jnp.zeros((nb, bucket_capacity), jnp.int64),
         values=jnp.zeros((nb * bucket_capacity, value_dim), value_dtype),
+        opt=(jnp.zeros((nb * bucket_capacity, opt_dim), value_dtype)
+             if opt_dim > 0 else None),
         inserted=jnp.zeros((1,), jnp.int64),
         evicted=jnp.zeros((1,), jnp.int64),
         overflowed=jnp.zeros((1,), jnp.int64),
@@ -101,10 +109,10 @@ def lookup(
 def _bucket_rank(b, want, num_buckets):
     """Rank of each wanted key among wanted keys of the same bucket.
 
-    Distinct ranks let all same-bucket keys claim *different* slots in one
-    round instead of serializing one insert per round."""
+    Distinct ranks let all same-bucket keys claim *different* empty slots
+    in one round instead of serializing one insert per round."""
     n = b.shape[0]
-    bm = jnp.where(want, b, num_buckets)
+    bm = jnp.where(want, b.astype(jnp.int32), num_buckets)
     order = jnp.argsort(bm)
     sorted_b = bm[order]
     run_start = jnp.searchsorted(sorted_b, sorted_b, side="left")
@@ -113,24 +121,31 @@ def _bucket_rank(b, want, num_buckets):
 
 
 def _choose_slot(bucket_keys, bucket_scores, key, rank):
-    """Per-key target slot: match > rank-th empty > rank-th min-score."""
+    """Per-key target slot: match > rank-th empty > min-score eviction.
+
+    The rank-th-empty selection needs a lane-axis cumulative count; VPU
+    lane scans cost milliseconds, so it is computed as an MXU matmul
+    against a lower-triangular ones matrix instead. Eviction targets the
+    min-score slot (argmin, no sort); simultaneous same-bucket evictions
+    resolve over retry rounds via the claim step."""
     n, C = bucket_keys.shape
     match = (bucket_keys == key[:, None]) & (key[:, None] != EMPTY_KEY)
     found = jnp.any(match, axis=1)
     match_slot = jnp.argmax(match, axis=1)
 
     empty = bucket_keys == EMPTY_KEY
-    empty_cum = jnp.cumsum(empty.astype(jnp.int32), axis=1)
+    # inclusive lane cumsum of `empty` as a matmul: cum[i, j] = number of
+    # empties at lanes <= j
+    tri = jnp.tril(jnp.ones((C, C), jnp.float32)).T  # [C, C] upper=0
+    empty_cum = jax.lax.dot_general(
+        empty.astype(jnp.float32), tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     num_empty = empty_cum[:, -1]
     takes_empty = rank < num_empty
     kth_empty = jnp.argmax(empty_cum > rank[:, None], axis=1)
-
-    # eviction: the (rank - num_empty)-th lowest-score slot
-    score_order = jnp.argsort(bucket_scores, axis=1)
-    ev_rank = jnp.clip(rank - num_empty, 0, C - 1)
-    evict_slot = jnp.take_along_axis(
-        score_order, ev_rank[:, None], axis=1
-    )[:, 0]
+    evict_slot = jnp.argmin(bucket_scores, axis=1)
 
     slot = jnp.where(
         found, match_slot, jnp.where(takes_empty, kth_empty, evict_slot)
@@ -144,9 +159,10 @@ def insert_and_evict(
     keys: jax.Array,          # [n] int64, pre-deduped; EMPTY_KEY = skip
     scores: jax.Array,        # [n] int64
     values: Optional[jax.Array],  # [n, value_dim] or None (keep existing)
+    opt_rows: Optional[jax.Array] = None,  # [n, opt_dim] initial opt state
     *,
     update_existing_values: bool = False,
-    rounds: int = 4,
+    rounds: int = 16,
 ) -> Tuple[HashTableState, jax.Array, jax.Array]:
     """Insert keys (evicting min-score victims in full buckets).
 
@@ -157,78 +173,111 @@ def insert_and_evict(
     """
     n = keys.shape[0]
     C = state.bucket_capacity
+    NB = state.num_buckets
     b = hash_keys(keys, state.num_buckets)
     active = keys != EMPTY_KEY
     slots_out = jnp.full((n,), -1, jnp.int32)
     evicted_any = jnp.zeros((n,), bool)
+    found_any = jnp.zeros((n,), bool)
+    idx = jnp.arange(n, dtype=jnp.int32)
 
-    def one_round(carry, _):
-        st, pending, slots_out, evicted_any = carry
-        bucket_keys = st.keys[b]
+    # The round loop touches ONLY keys/scores (the value rows are written
+    # once afterwards from the resolved slots — a lax.while_loop
+    # double-buffers its carry, and carrying the multi-GB value table
+    # through rounds would copy it every iteration).
+    def one_round(carry):
+        tkeys, tscores, pending, slots_out, evicted_any, found_any = carry
+        bucket_keys = tkeys[b]
         bucket_scores = jnp.where(
             bucket_keys == EMPTY_KEY,
             jnp.iinfo(jnp.int64).min,
-            st.scores[b],
+            tscores[b],
         )
         want = pending & active
-        rank = _bucket_rank(b, want, st.num_buckets)
+        rank = _bucket_rank(b, want, NB)
         slot_in, found, is_evict = _choose_slot(
             bucket_keys, bucket_scores, keys, rank
         )
-        # claim: lowest key index wins each (bucket, slot) cell this round
-        claim = jnp.full((st.num_buckets, C), n, jnp.int32)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        claim = claim.at[b, slot_in].min(jnp.where(want, idx, n))
-        win = want & (claim[b, slot_in] == idx)
+        flat = b.astype(jnp.int32) * C + slot_in
+        # claim: of the keys wanting the same (bucket, slot) cell, the one
+        # with the lowest index wins this round. Resolved by a 1D sort
+        # over the n targets — no full-table claim buffer.
+        tgt = jnp.where(want, flat, jnp.int32(NB * C))
+        order = jnp.argsort(tgt)
+        tgt_sorted = tgt[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), tgt_sorted[1:] != tgt_sorted[:-1]]
+        )
+        win_sorted = first & (tgt_sorted < NB * C)
+        win = jnp.zeros((n,), bool).at[order].set(win_sorted)
 
-        flat = b * C + slot_in
-        cap = st.num_buckets * C
+        cap = NB * C
         # scatter ONLY from winners: losers' indices are pushed out of
         # bounds and dropped — a masked .set() with duplicate indices is
         # nondeterministic (losers could clobber the winner's write).
         flat_w = jnp.where(win, flat, cap)
         new_keys = (
-            st.keys.reshape(-1).at[flat_w].set(keys, mode="drop")
-            .reshape(st.num_buckets, C)
+            tkeys.reshape(-1).at[flat_w].set(keys, mode="drop")
+            .reshape(NB, C)
         )
-        old_scores_at = st.scores.reshape(-1)[flat]
+        old_scores_at = tscores.reshape(-1)[flat]
         refreshed = jnp.where(
             found, jnp.maximum(old_scores_at, scores), scores
         )
         new_scores = (
-            st.scores.reshape(-1).at[flat_w].set(refreshed, mode="drop")
-            .reshape(st.num_buckets, C)
+            tscores.reshape(-1).at[flat_w].set(refreshed, mode="drop")
+            .reshape(NB, C)
         )
-
-        if values is not None:
-            write_val = win & (~found | update_existing_values)
-            flat_v = jnp.where(write_val, flat, cap)
-            new_values = st.values.at[flat_v].set(
-                values.astype(st.values.dtype), mode="drop"
-            )
-        else:
-            new_values = st.values
-
-        newly_inserted = win & ~found
-        newly_evicted = win & is_evict
-        st = st.replace(
-            keys=new_keys,
-            scores=new_scores,
-            values=new_values,
-            inserted=st.inserted + newly_inserted.sum(dtype=jnp.int64),
-            evicted=st.evicted + newly_evicted.sum(dtype=jnp.int64),
-        )
-        slots_out = jnp.where(win, flat.astype(jnp.int32), slots_out)
-        evicted_any = evicted_any | newly_evicted
+        slots_out = jnp.where(win, flat, slots_out)
+        evicted_any = evicted_any | (win & is_evict)
+        found_any = found_any | (win & found)
         pending = pending & ~win
-        return (st, pending, slots_out, evicted_any), None
+        return (new_keys, new_scores, pending, slots_out, evicted_any,
+                found_any)
 
-    carry = (state, active, slots_out, evicted_any)
-    for _ in range(rounds):
-        carry, _ = one_round(carry, None)
-    state, pending, slots_out, evicted_any = carry
+    # keys are pre-deduped, so same-(bucket,slot) collisions are rare and
+    # round 1 almost always resolves everything; a while_loop (instead of
+    # unrolling `rounds` times) skips the remaining rounds' work.
+    def cond(c):
+        i, carry = c
+        return (i < rounds) & jnp.any(carry[2])
+
+    def body(c):
+        i, carry = c
+        return (i + 1, one_round(carry))
+
+    _, carry = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0),
+         (state.keys, state.scores, active, slots_out, evicted_any,
+          found_any)),
+    )
+    tkeys, tscores, pending, slots_out, evicted_any, found_any = carry
+
+    won = (slots_out >= 0)
+    new_values = state.values
+    new_opt = state.opt
+    if values is not None:
+        write_val = won & (~found_any | update_existing_values)
+        flat_v = jnp.where(write_val, slots_out, NB * C)
+        new_values = state.values.at[flat_v].set(
+            values.astype(state.values.dtype), mode="drop"
+        )
+        if opt_rows is not None and state.opt is not None:
+            new_opt = state.opt.at[flat_v].set(
+                opt_rows.astype(state.opt.dtype), mode="drop"
+            )
+
+    newly_inserted = won & ~found_any
     state = state.replace(
-        overflowed=state.overflowed + (pending & active).sum(dtype=jnp.int64)
+        keys=tkeys,
+        scores=tscores,
+        values=new_values,
+        opt=new_opt,
+        inserted=state.inserted + newly_inserted.sum(dtype=jnp.int64),
+        evicted=state.evicted + evicted_any.sum(dtype=jnp.int64),
+        overflowed=state.overflowed
+        + (pending & active).sum(dtype=jnp.int64),
     )
     return state, slots_out, evicted_any
 
@@ -275,8 +324,15 @@ def export_batch(
     v = jax.lax.dynamic_slice_in_dim(
         state.values, start_bucket * C, num_buckets * C, 0
     )
+    o = (
+        None
+        if state.opt is None
+        else jax.lax.dynamic_slice_in_dim(
+            state.opt, start_bucket * C, num_buckets * C, 0
+        )
+    )
     valid = (k != EMPTY_KEY).reshape(-1)
-    return k.reshape(-1), s.reshape(-1), v, valid
+    return k.reshape(-1), s.reshape(-1), v, valid, o
 
 
 def count_matched(state: HashTableState, threshold: jax.Array) -> jax.Array:

@@ -103,16 +103,23 @@ class HybridDynamicEmbedding:
         if len(bring) == 0:
             return state
         vals = host_vals[host_found]
+        dim = self.table.dim
         # snapshot victims: keys currently in the target buckets may be
         # evicted — capture the full table pre-insert to flush them after
         pre_keys = np.asarray(state.table.keys).reshape(-1)
         pre_scores = np.asarray(state.table.scores).reshape(-1)
         score = int(np.asarray(state.step)[0]) + 1
+        opt_rows = (
+            jnp.asarray(vals[:, dim:], state.table.values.dtype)
+            if self.table.opt_dim > 0
+            else None
+        )
         tstate, slots, evicted = insert_and_evict(
             state.table,
             jnp.asarray(bring),
             jnp.full((len(bring),), score, jnp.int64),
-            jnp.asarray(vals, state.table.values.dtype),
+            jnp.asarray(vals[:, :dim], state.table.values.dtype),
+            opt_rows,
             update_existing_values=True,
             rounds=self.table.options.insert_rounds,
         )
@@ -123,6 +130,11 @@ class HybridDynamicEmbedding:
             vkeys = pre_keys[victim_slots]
             vscores = pre_scores[victim_slots]
             vvals = np.asarray(state.table.values)[victim_slots]
+            if state.table.opt is not None:
+                vvals = np.concatenate(
+                    [vvals, np.asarray(state.table.opt)[victim_slots]],
+                    axis=1,
+                )
             live = vkeys != int(EMPTY_KEY)
             self.host.put_batch(
                 vkeys[live], vvals[live], vscores[live]
@@ -139,6 +151,8 @@ class HybridDynamicEmbedding:
         step = max(1, min(nb, 4096))
         for start in range(0, nb, step):
             cnt = min(step, nb - start)
-            k, s, v, valid = export_batch(state.table, start, cnt)
+            k, s, v, valid, o = export_batch(state.table, start, cnt)
             k, s, v, valid = map(np.asarray, (k, s, v, valid))
+            if o is not None:
+                v = np.concatenate([v, np.asarray(o)], axis=1)
             self.host.put_batch(k[valid], v[valid], s[valid])

@@ -1,21 +1,28 @@
-"""Fused sparse optimizers over flat-table value rows.
+"""Fused sparse optimizers over hash-table rows.
 
 Counterpart of the reference's in-place row optimizers
 (corelib/dynamicemb/dynamicemb/optimizer.py:119-513; kernels
-src/optimizer.cu `*_update_for_flat_table`): each hash-table value row is
-[embedding ++ optimizer state], so a sparse update touches only the looked-up
-rows — a gather, a fused VPU update, a scatter. No dense optimizer state.
+src/optimizer.cu `*_update_for_flat_table`): a sparse update touches only
+the looked-up rows — a gather, a fused VPU update, a scatter. No dense
+optimizer state.
 
-Row layouts:
-  sgd:              [dim]
-  adam:             [dim | m(dim) | v(dim)]
-  adagrad:          [dim | acc(dim)]
-  rowwise_adagrad:  [dim | acc(1)]
+Layout: embeddings live in `HashTableState.values` [cap, dim] and the
+optimizer state in the separate `HashTableState.opt` [cap, opt_dim]
+(the reference packs both into one flat row; on TPU an odd combined row
+width like dim+1 makes XLA choose a transposed layout for the multi-GB
+values buffer and insert two full-table layout-conversion copies per
+training step, so the state is split into two lane-aligned arrays).
+
+opt_dim per optimizer:
+  sgd:              0
+  adam:             2*dim   (m ++ v)
+  adagrad:          dim     (acc)
+  rowwise_adagrad:  1       (row acc)
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,32 +41,35 @@ class SparseOptimizerArgs:
     initial_accumulator: float = 0.0
 
 
-def value_dim_for(optimizer: str, dim: int) -> int:
+def opt_dim_for(optimizer: str, dim: int) -> int:
     if optimizer == "sgd":
-        return dim
+        return 0
     if optimizer == "adam":
-        return 3 * dim
-    if optimizer == "adagrad":
         return 2 * dim
-    if optimizer == "rowwise_adagrad":
-        return dim + 1
-    raise ValueError(optimizer)
-
-
-def initial_row(optimizer: str, emb: jax.Array, args: SparseOptimizerArgs):
-    """Build full value rows [n, value_dim] from fresh embeddings [n, dim]."""
-    n, dim = emb.shape
-    if optimizer == "sgd":
-        return emb
-    if optimizer == "adam":
-        return jnp.concatenate([emb, jnp.zeros((n, 2 * dim), emb.dtype)], axis=1)
     if optimizer == "adagrad":
-        acc = jnp.full((n, dim), args.initial_accumulator, emb.dtype)
-        return jnp.concatenate([emb, acc], axis=1)
+        return dim
     if optimizer == "rowwise_adagrad":
-        acc = jnp.full((n, 1), args.initial_accumulator, emb.dtype)
-        return jnp.concatenate([emb, acc], axis=1)
+        return 1
     raise ValueError(optimizer)
+
+
+def value_dim_for(optimizer: str, dim: int) -> int:
+    """Total floats stored per row (embedding + optimizer state) — used for
+    memory accounting (reference: get_table_value_bytes,
+    dynamicemb_config.py:768)."""
+    return dim + opt_dim_for(optimizer, dim)
+
+
+def initial_opt_row(
+    optimizer: str, n: int, dim: int, args: SparseOptimizerArgs, dtype
+) -> Optional[jax.Array]:
+    """Initial optimizer-state rows [n, opt_dim] for fresh keys."""
+    od = opt_dim_for(optimizer, dim)
+    if od == 0:
+        return None
+    if optimizer in ("adagrad", "rowwise_adagrad"):
+        return jnp.full((n, od), args.initial_accumulator, dtype)
+    return jnp.zeros((n, od), dtype)
 
 
 def sparse_update(
@@ -73,38 +83,45 @@ def sparse_update(
     dim = grads.shape[1]
     ok = slots >= 0
     safe = jnp.clip(slots, 0, state.capacity - 1)
-    rows = state.values[safe].astype(jnp.float32)  # [u, value_dim]
+    w = state.values[safe].astype(jnp.float32)  # [u, dim]
     g = grads.astype(jnp.float32)
     if args.weight_decay > 0.0:
-        g = g + args.weight_decay * rows[:, :dim]
+        g = g + args.weight_decay * w
     lr = args.learning_rate
+    new_opt_rows = None
 
     if args.optimizer == "sgd":
-        new_rows = rows[:, :dim] - lr * g
+        w = w - lr * g
     elif args.optimizer == "adam":
-        w, m, v = rows[:, :dim], rows[:, dim:2 * dim], rows[:, 2 * dim:]
+        o = state.opt[safe].astype(jnp.float32)
+        m, v = o[:, :dim], o[:, dim:]
         m = args.beta1 * m + (1 - args.beta1) * g
         v = args.beta2 * v + (1 - args.beta2) * g * g
         t = jnp.maximum(step, 1).astype(jnp.float32)
         mhat = m / (1 - args.beta1 ** t)
         vhat = v / (1 - args.beta2 ** t)
         w = w - lr * mhat / (jnp.sqrt(vhat) + args.eps)
-        new_rows = jnp.concatenate([w, m, v], axis=1)
+        new_opt_rows = jnp.concatenate([m, v], axis=1)
     elif args.optimizer == "adagrad":
-        w, acc = rows[:, :dim], rows[:, dim:]
+        acc = state.opt[safe].astype(jnp.float32)
         acc = acc + g * g
         w = w - lr * g / (jnp.sqrt(acc) + args.eps)
-        new_rows = jnp.concatenate([w, acc], axis=1)
+        new_opt_rows = acc
     elif args.optimizer == "rowwise_adagrad":
-        w, acc = rows[:, :dim], rows[:, dim:]
+        acc = state.opt[safe].astype(jnp.float32)
         acc = acc + jnp.mean(g * g, axis=1, keepdims=True)
         w = w - lr * g / (jnp.sqrt(acc) + args.eps)
-        new_rows = jnp.concatenate([w, acc], axis=1)
+        new_opt_rows = acc
     else:
         raise ValueError(args.optimizer)
 
-    new_rows = new_rows.astype(state.values.dtype)
     tgt = jnp.where(ok, slots, state.capacity)  # failed slots dropped
-    return state.replace(
-        values=state.values.at[tgt].set(new_rows, mode="drop")
+    new_values = state.values.at[tgt].set(
+        w.astype(state.values.dtype), mode="drop"
     )
+    new_opt = state.opt
+    if new_opt_rows is not None:
+        new_opt = state.opt.at[tgt].set(
+            new_opt_rows.astype(state.opt.dtype), mode="drop"
+        )
+    return state.replace(values=new_values, opt=new_opt)

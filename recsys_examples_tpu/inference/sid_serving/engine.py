@@ -102,3 +102,58 @@ class GRServingEngine:
         for Bb in self.cfg.batch_buckets:
             for N in self.cfg.ctx_buckets:
                 self.generate([np.zeros((min(H, N),), np.int32)] * Bb)
+
+
+class Qwen3ServingEngine(GRServingEngine):
+    """Serving engine over the Qwen3 backbone (reference:
+    gr_serving/engine.py wired to gr_models/qwen3). Contexts are flat SID
+    token streams in the Qwen3 vocab; generation runs the KV-cached beam
+    runtime (qwen3_runtime.qwen3_generate_beam)."""
+
+    def __init__(self, model, params, cfg: ServingConfig, num_steps: int,
+                 logits_mask_fn=None, attn_backend: str = "auto"):
+        super().__init__(model, params, cfg)
+        self.num_steps = num_steps
+        self.logits_mask_fn = logits_mask_fn
+        self.attn_backend = attn_backend
+
+    def _fn(self, B: int, N: int):
+        key = (B, N)
+        if key not in self._fns:
+            from recsys_examples_tpu.inference.sid_serving.qwen3_runtime import (
+                qwen3_generate_beam,
+            )
+            W = self.cfg.beam_width
+
+            def gen(params, tokens, lengths):
+                return qwen3_generate_beam(
+                    self.model, params, tokens, lengths,
+                    num_steps=self.num_steps, beam_width=W,
+                    logits_mask_fn=self.logits_mask_fn,
+                    backend=self.attn_backend,
+                )
+
+            self._fns[key] = jax.jit(gen)
+            self.compile_count += 1
+        return self._fns[key]
+
+    def generate(self, contexts):
+        B = len(contexts)
+        Bb = _bucket(B, self.cfg.batch_buckets)
+        maxlen = max((len(c) for c in contexts), default=1)
+        N = _bucket(max(maxlen, 1), self.cfg.ctx_buckets)
+        tokens = np.zeros((Bb, N), np.int32)
+        lens = np.zeros((Bb,), np.int32)
+        for i, c in enumerate(contexts):
+            tokens[i, :len(c)] = c
+            lens[i] = len(c)
+        lens = np.maximum(lens, 1)  # empty rows decode from position 0
+        paths, scores = self._fn(Bb, N)(
+            self.params, jnp.asarray(tokens), jnp.asarray(lens)
+        )
+        return np.asarray(paths)[:B], np.asarray(scores)[:B]
+
+    def warmup(self):
+        for Bb in self.cfg.batch_buckets:
+            for N in self.cfg.ctx_buckets:
+                self.generate([np.zeros((1,), np.int32)] * Bb)

@@ -58,11 +58,15 @@ def dump_table(
     if score_threshold > 0:
         live &= scores >= score_threshold
     os.makedirs(path, exist_ok=True)
+    extra = {}
+    if state.table.opt is not None:
+        extra["opt"] = np.asarray(state.table.opt)[live]
     np.savez(
         os.path.join(path, f"{name}.npz"),
         keys=keys[live],
         scores=scores[live],
         values=values[live],
+        **extra,
     )
     meta = {
         "name": name,
@@ -87,6 +91,7 @@ def load_table(
     reference analogue: DynamicEmbLoad dynamicemb/dump_load.py:91)."""
     data = np.load(os.path.join(path, f"{name}.npz"))
     keys, scores, values = data["keys"], data["scores"], data["values"]
+    opt = data["opt"] if "opt" in data.files else None
     tstate = state.table
     for i in range(0, len(keys), batch):
         k = jnp.asarray(keys[i:i + batch])
@@ -95,8 +100,11 @@ def load_table(
             k = jnp.pad(k, (0, pad), constant_values=int(EMPTY_KEY))
         s = jnp.pad(jnp.asarray(scores[i:i + batch]), (0, pad))
         v = jnp.pad(jnp.asarray(values[i:i + batch]), ((0, pad), (0, 0)))
+        o = None
+        if opt is not None:
+            o = jnp.pad(jnp.asarray(opt[i:i + batch]), ((0, pad), (0, 0)))
         tstate, _, _ = insert_and_evict(
-            tstate, k, s, v, update_existing_values=True,
+            tstate, k, s, v, o, update_existing_values=True,
             rounds=table.options.insert_rounds,
         )
     with open(os.path.join(path, f"{name}.meta.json")) as f:

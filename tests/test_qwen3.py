@@ -1,0 +1,158 @@
+"""Qwen3 backbone + beam runtime: KV-cached decode must match the no-KV
+baseline (reference test model: sid-gr-inference tests +
+examples/sid_gr/tests/test_beam_decode_generate.py overlap assertion)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_examples_tpu.inference.sid_serving.qwen3_runtime import (
+    qwen3_generate_beam,
+    qwen3_generate_reference,
+)
+from recsys_examples_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = Qwen3Config.tiny(vocab_size=64)
+    model = Qwen3Model(cfg)
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    lengths = jnp.asarray([8, 8], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, lengths)
+    return model, params
+
+
+def test_prefill_shapes_and_padding(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 64, size=(2, 10)), jnp.int32)
+    lengths = jnp.asarray([10, 6], jnp.int32)
+    logits, kvs = model.apply(params, tokens, lengths,
+                              method=Qwen3Model.prefill)
+    assert logits.shape == (2, 64)
+    assert len(kvs) == model.config.num_layers
+    assert kvs[0][0].shape == (2, 10, 2, 16)
+    # padding-invariance: extending the padded tail must not change logits
+    tokens2 = tokens.at[1, 6:].set(63)
+    logits2, _ = model.apply(params, tokens2, lengths,
+                             method=Qwen3Model.prefill)
+    np.testing.assert_allclose(
+        np.asarray(logits[1]), np.asarray(logits2[1]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_beam_decode_matches_reference(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, 64, size=(2, 12)), jnp.int32)
+    lengths = jnp.asarray([12, 7], jnp.int32)
+    paths_kv, scores_kv = qwen3_generate_beam(
+        model, params, tokens, lengths, num_steps=3, beam_width=4,
+        backend="jnp",
+    )
+    paths_ref, scores_ref = qwen3_generate_reference(
+        model, params, tokens, lengths, num_steps=3, beam_width=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores_kv), np.asarray(scores_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(paths_kv), np.asarray(paths_ref))
+
+
+def test_constrained_decoding_mask(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(0, 64, size=(1, 6)), jnp.int32)
+    lengths = jnp.asarray([6], jnp.int32)
+
+    def mask_fn(step, paths):
+        # only tokens [step*8, step*8+8) allowed at each step
+        B = 1
+        W = 4 if step > 0 else 4
+        allowed = jnp.zeros((64,), jnp.float32) - 1e30
+        allowed = allowed.at[step * 8:(step + 1) * 8].set(0.0)
+        return jnp.broadcast_to(allowed[None, None], (B, W, 64))
+
+    paths, scores = qwen3_generate_beam(
+        model, params, tokens, lengths, num_steps=3, beam_width=4,
+        logits_mask_fn=mask_fn, backend="jnp",
+    )
+    p = np.asarray(paths)
+    for h in range(3):
+        assert ((p[:, :, h] >= h * 8) & (p[:, :, h] < (h + 1) * 8)).all()
+
+
+def test_hf_weight_loader_roundtrip(tmp_path, model_and_params):
+    """Write a synthetic HF-format checkpoint, load it, and check the
+    mapped tree matches the module's own param structure."""
+    st = pytest.importorskip("safetensors.numpy")
+    model, params = model_and_params
+    cfg = model.config
+    rng = np.random.default_rng(3)
+    tensors = {
+        "model.embed_tokens.weight": rng.normal(
+            size=(cfg.vocab_size, cfg.hidden_size)
+        ).astype(np.float32),
+        "model.norm.weight": np.ones((cfg.hidden_size,), np.float32),
+    }
+    H, Hkv, dh, D, I = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                        cfg.hidden_size, cfg.intermediate_size)
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        tensors[pre + "self_attn.q_proj.weight"] = rng.normal(
+            size=(H * dh, D)).astype(np.float32)
+        tensors[pre + "self_attn.k_proj.weight"] = rng.normal(
+            size=(Hkv * dh, D)).astype(np.float32)
+        tensors[pre + "self_attn.v_proj.weight"] = rng.normal(
+            size=(Hkv * dh, D)).astype(np.float32)
+        tensors[pre + "self_attn.o_proj.weight"] = rng.normal(
+            size=(D, H * dh)).astype(np.float32)
+        tensors[pre + "self_attn.q_norm.weight"] = np.ones((dh,), np.float32)
+        tensors[pre + "self_attn.k_norm.weight"] = np.ones((dh,), np.float32)
+        tensors[pre + "mlp.gate_proj.weight"] = rng.normal(
+            size=(I, D)).astype(np.float32)
+        tensors[pre + "mlp.up_proj.weight"] = rng.normal(
+            size=(I, D)).astype(np.float32)
+        tensors[pre + "mlp.down_proj.weight"] = rng.normal(
+            size=(D, I)).astype(np.float32)
+        tensors[pre + "input_layernorm.weight"] = np.ones((D,), np.float32)
+        tensors[pre + "post_attention_layernorm.weight"] = np.ones(
+            (D,), np.float32)
+    st.save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    from recsys_examples_tpu.models.qwen3 import load_hf_weights
+
+    loaded = load_hf_weights(str(tmp_path), cfg)
+    want = jax.tree.structure(params["params"])
+    got = jax.tree.structure(loaded)
+    assert want == got, f"\n{want}\n!=\n{got}"
+    # loaded weights drive a forward pass
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    logits, _ = model.apply(
+        {"params": loaded}, tokens, jnp.asarray([4], jnp.int32),
+        method=Qwen3Model.prefill,
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_qwen3_serving_engine(model_and_params):
+    from recsys_examples_tpu.inference.sid_serving.engine import (
+        Qwen3ServingEngine,
+        ServingConfig,
+    )
+
+    model, params = model_and_params
+    cfg = ServingConfig(beam_width=4, ctx_buckets=(16,), batch_buckets=(2,))
+    eng = Qwen3ServingEngine(model, params, cfg, num_steps=3,
+                             attn_backend="jnp")
+    rng = np.random.default_rng(4)
+    ctxs = [rng.integers(0, 64, size=(9,)).astype(np.int32),
+            rng.integers(0, 64, size=(13,)).astype(np.int32)]
+    paths, scores = eng.generate(ctxs)
+    assert paths.shape == (2, 4, 3)
+    assert scores.shape == (2, 4)
+    # replay hits the compiled executable (no growth in compile count)
+    n = eng.compile_count
+    eng.generate(ctxs)
+    assert eng.compile_count == n
