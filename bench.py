@@ -75,7 +75,9 @@ def main():
             num_position_buckets=8192
         ),
         target_group_size=1,
-        recompute_layer=True,
+        # tight token capacity keeps activations small; full activations
+        # fit HBM so remat's extra forward pass is not worth it
+        recompute_layer=False,
         item_embedding_dim=EMB_DIM,
     )
     task_cfg = RankingConfig(

@@ -98,9 +98,9 @@ def random_hstu_batch(
     # near sum(len) — the varlen kernels and the embedding path then do
     # work proportional to actual tokens, not to batch*max_len (the
     # reference's packed-KJT property). -1 = auto-tight (total tokens
-    # rounded up to 2048).
+    # rounded up to 512).
     if token_capacity == -1:
-        token_capacity = int(-(-int(item_len.sum()) // 2048) * 2048)
+        token_capacity = int(-(-int(item_len.sum()) // 512) * 512)
     if token_capacity > 0:
         total = int(item_len.sum())
         assert token_capacity >= total, (token_capacity, total)

@@ -188,10 +188,11 @@ def insert_and_evict(
     def one_round(carry):
         tkeys, tscores, pending, slots_out, evicted_any, found_any = carry
         bucket_keys = tkeys[b]
+        bucket_keys_scores_raw = tscores[b]
         bucket_scores = jnp.where(
             bucket_keys == EMPTY_KEY,
             jnp.iinfo(jnp.int64).min,
-            tscores[b],
+            bucket_keys_scores_raw,
         )
         want = pending & active
         rank = _bucket_rank(b, want, NB)
@@ -211,23 +212,20 @@ def insert_and_evict(
         win_sorted = first & (tgt_sorted < NB * C)
         win = jnp.zeros((n,), bool).at[order].set(win_sorted)
 
-        cap = NB * C
-        # scatter ONLY from winners: losers' indices are pushed out of
+        # scatter ONLY from winners: losers' rows are pushed out of
         # bounds and dropped — a masked .set() with duplicate indices is
         # nondeterministic (losers could clobber the winner's write).
-        flat_w = jnp.where(win, flat, cap)
-        new_keys = (
-            tkeys.reshape(-1).at[flat_w].set(keys, mode="drop")
-            .reshape(NB, C)
-        )
-        old_scores_at = tscores.reshape(-1)[flat]
+        # 2D scatter (row, col) directly: flattening via reshape(-1)
+        # forces a full-table (8,128)->(1024) retile copy each round.
+        row_w = jnp.where(win, b.astype(jnp.int32), NB)
+        new_keys = tkeys.at[row_w, slot_in].set(keys, mode="drop")
+        old_scores_at = jnp.take_along_axis(
+            bucket_keys_scores_raw, slot_in[:, None], axis=1
+        )[:, 0]
         refreshed = jnp.where(
             found, jnp.maximum(old_scores_at, scores), scores
         )
-        new_scores = (
-            tscores.reshape(-1).at[flat_w].set(refreshed, mode="drop")
-            .reshape(NB, C)
-        )
+        new_scores = tscores.at[row_w, slot_in].set(refreshed, mode="drop")
         slots_out = jnp.where(win, flat, slots_out)
         evicted_any = evicted_any | (win & is_evict)
         found_any = found_any | (win & found)
@@ -286,29 +284,36 @@ def erase(state: HashTableState, keys: jax.Array) -> HashTableState:
     """Remove keys (reference: table_erase)."""
     slots, found = lookup(state, keys)
     tgt = jnp.where(found, slots, state.capacity)  # drop non-found
-    flat_keys = state.keys.reshape(-1).at[tgt].set(EMPTY_KEY, mode="drop")
-    flat_scores = state.scores.reshape(-1).at[tgt].set(0, mode="drop")
+    C = state.bucket_capacity
+    row = jnp.where(tgt < state.capacity, tgt // C, state.num_buckets)
+    col = tgt % C
     return state.replace(
-        keys=flat_keys.reshape(state.keys.shape),
-        scores=flat_scores.reshape(state.scores.shape),
+        keys=state.keys.at[row, col].set(EMPTY_KEY, mode="drop"),
+        scores=state.scores.at[row, col].set(0, mode="drop"),
     )
 
 
 def update_scores(
     state: HashTableState, slots: jax.Array, scores: jax.Array
 ) -> HashTableState:
+    C = state.bucket_capacity
     tgt = jnp.where(slots >= 0, slots, state.capacity)
-    flat = state.scores.reshape(-1).at[tgt].set(scores, mode="drop")
-    return state.replace(scores=flat.reshape(state.scores.shape))
+    row = jnp.where(slots >= 0, tgt // C, state.num_buckets)
+    return state.replace(
+        scores=state.scores.at[row, tgt % C].set(scores, mode="drop")
+    )
 
 
 def add_scores(
     state: HashTableState, slots: jax.Array, inc: jax.Array
 ) -> HashTableState:
     """Accumulate into scores (LFU counting)."""
+    C = state.bucket_capacity
     tgt = jnp.where(slots >= 0, slots, state.capacity)
-    flat = state.scores.reshape(-1).at[tgt].add(inc, mode="drop")
-    return state.replace(scores=flat.reshape(state.scores.shape))
+    row = jnp.where(slots >= 0, tgt // C, state.num_buckets)
+    return state.replace(
+        scores=state.scores.at[row, tgt % C].add(inc, mode="drop")
+    )
 
 
 def export_batch(
