@@ -102,6 +102,59 @@ class SequenceDataset:
                 actions = actions[cut:]
         return items, actions
 
+    def _assemble(self, uids: np.ndarray, train: bool, cap: int):
+        """Pack one batch. Native C++ fast path (csrc/batch_assembler.cpp)
+        with a Python fallback."""
+        from recsys_examples_tpu.utils.native import (
+            _ptr,
+            batch_assembler_lib,
+        )
+
+        batch_size = len(uids)
+        iv = np.zeros((cap,), np.int64)
+        av = np.zeros((cap,), np.int64)
+        lens = np.zeros((batch_size,), np.int32)
+        ncand = np.zeros((batch_size,), np.int32)
+        labels = np.zeros(
+            (batch_size * max(self.max_num_candidates, 1),), np.int32
+        )
+        lab_len = np.zeros((batch_size,), np.int32)
+        lib = batch_assembler_lib()
+        if lib is not None and self.action_ids is not None:
+            uids64 = np.ascontiguousarray(uids, np.int64)
+            items = np.ascontiguousarray(self.item_ids, np.int64)
+            acts = np.ascontiguousarray(self.action_ids, np.int64)
+            offs = np.ascontiguousarray(self.offsets, np.int64)
+            total = int(lib.assemble_batch(
+                _ptr(items), _ptr(acts), _ptr(offs), _ptr(uids64),
+                batch_size, int(train), self.eval_holdout,
+                self.max_history_len, self.max_num_candidates, cap, 4,
+                _ptr(iv), _ptr(av), _ptr(lens), _ptr(ncand), _ptr(labels),
+                _ptr(lab_len),
+            ))
+            assert total >= 0, "token capacity overflow in assembler"
+            return iv, av, lens, ncand, labels, lab_len
+        pos = 0
+        for j, u in enumerate(uids):
+            items, actions = self._user_seq(int(u), train)
+            n = len(items)
+            nc = min(self.max_num_candidates, max(n - 1, 0))
+            iv[pos:pos + n] = items
+            if actions is not None:
+                av[pos:pos + n] = actions
+            lens[j] = n
+            ncand[j] = nc
+            # labels from actions on candidates (e.g. rating>=4)
+            if nc > 0 and actions is not None:
+                pos_lab = (actions[n - nc:] >= 4).astype(np.int32)
+                labels[
+                    j * self.max_num_candidates:
+                    j * self.max_num_candidates + nc
+                ] = pos_lab
+                lab_len[j] = nc
+            pos += n
+        return iv, av, lens, ncand, labels, lab_len
+
     def batches(
         self, batch_size: int, *, train: bool = True, seed: int = 0,
         shuffle: bool = True,
@@ -117,33 +170,9 @@ class SequenceDataset:
                 uids = order[i:i + batch_size]
                 item_max = self.max_history_len + self.max_num_candidates
                 cap = batch_size * item_max
-                iv = np.zeros((cap,), np.int64)
-                av = np.zeros((cap,), np.int64)
-                lens = np.zeros((batch_size,), np.int32)
-                ncand = np.zeros((batch_size,), np.int32)
-                labels = np.zeros(
-                    (batch_size * max(self.max_num_candidates, 1),), np.int32
+                iv, av, lens, ncand, labels, lab_len = self._assemble(
+                    uids, train, cap
                 )
-                lab_len = np.zeros((batch_size,), np.int32)
-                pos = 0
-                for j, u in enumerate(uids):
-                    items, actions = self._user_seq(int(u), train)
-                    n = len(items)
-                    nc = min(self.max_num_candidates, max(n - 1, 0))
-                    iv[pos:pos + n] = items
-                    if actions is not None:
-                        av[pos:pos + n] = actions
-                    lens[j] = n
-                    ncand[j] = nc
-                    # labels from actions on candidates (e.g. rating>=4)
-                    if nc > 0 and actions is not None:
-                        pos_lab = (actions[n - nc:] >= 4).astype(np.int32)
-                        labels[
-                            j * self.max_num_candidates:
-                            j * self.max_num_candidates + nc
-                        ] = pos_lab
-                        lab_len[j] = nc
-                    pos += n
                 feats = {
                     "item": JaggedIds(
                         values=jnp.asarray(iv),
@@ -197,3 +226,36 @@ def sequence_dataset_iterator(ds_args, trainer_args) -> Iterator[HSTUBatch]:
         ds_args.batch_size, train=True, seed=trainer_args.seed,
         shuffle=ds_args.shuffle,
     )
+
+
+class PrefetchIterator:
+    """Background-thread batch prefetch: overlaps host-side batch assembly
+    with the device step (the reference's multi-stream train pipeline's
+    H2D/data-dist overlap, examples/commons/pipeline/train_pipeline.py:95,
+    re-expressed for TPU as host prefetch + XLA async dispatch)."""
+
+    def __init__(self, it: Iterator[HSTUBatch], depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

@@ -38,38 +38,40 @@ from recsys_examples_tpu.dynamicemb.hashtable import (
 
 
 class HostStorage:
-    """Host-RAM key -> (value row, score) store
-    (reference: DynamicEmbStorage host/UVM tier)."""
+    """Host-RAM key -> (value row, score) store backed by the native C++
+    store (csrc/host_store.cpp) — counterpart of the reference's host/UVM
+    tier (DynamicEmbStorage host side, key_value_table.py:2107) whose hot
+    path is likewise native."""
 
     def __init__(self, value_dim: int):
+        from recsys_examples_tpu.utils.native import NativeHostStore
+
         self.value_dim = value_dim
-        self.rows: Dict[int, np.ndarray] = {}
-        self.scores: Dict[int, int] = {}
+        self._store = NativeHostStore(value_dim)
 
     def __len__(self):
-        return len(self.rows)
+        return len(self._store)
 
     def get_batch(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """(values [n, vd], found [n]) for int64 keys."""
-        n = len(keys)
-        vals = np.zeros((n, self.value_dim), np.float32)
-        found = np.zeros((n,), bool)
-        for i, k in enumerate(keys):
-            r = self.rows.get(int(k))
-            if r is not None:
-                vals[i] = r
-                found[i] = True
-        return vals, found
+        return self._store.get(np.asarray(keys, np.int64))
 
     def put_batch(
         self, keys: np.ndarray, values: np.ndarray, scores: np.ndarray
     ) -> None:
-        for k, v, s in zip(keys, values, scores):
-            ik = int(k)
-            if ik == int(EMPTY_KEY):
-                continue
-            self.rows[ik] = np.asarray(v, np.float32).copy()
-            self.scores[ik] = int(s)
+        keys = np.asarray(keys, np.int64)
+        live = keys != int(EMPTY_KEY)
+        self._store.put(
+            keys[live],
+            np.asarray(values, np.float32)[live],
+            np.asarray(scores, np.int64)[live],
+        )
+
+    def pop(self, key: int) -> None:
+        self._store.erase(np.asarray([key], np.int64))
+
+    def export(self, score_threshold: int = 0):
+        return self._store.export(score_threshold)
 
 
 class HybridDynamicEmbedding:
@@ -140,8 +142,7 @@ class HybridDynamicEmbedding:
                 vkeys[live], vvals[live], vscores[live]
             )
         # drop the keys now living on-device from host
-        for k in bring:
-            self.host.rows.pop(int(k), None)
+        self.host._store.erase(np.asarray(bring, np.int64))
         return state.replace(table=tstate)
 
     def flush_all(self, state: DynamicEmbTableState) -> None:

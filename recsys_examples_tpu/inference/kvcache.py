@@ -310,15 +310,24 @@ def evict_users(state: KVCacheState, user_ids: jax.Array) -> KVCacheState:
 
 
 class HostKVStorage:
-    """Host-RAM tier for evicted users' KV (reference:
-    native_host_kvcache_manager.py:32 `NativeHostKVStorage`). Python-side
-    (outside jit): offload pulls a user's gathered KV to numpy; onboard
-    device_puts it back and appends. Async overlap comes from dispatching
-    the device_put before the compute that consumes it."""
+    """Host-RAM tier for evicted users' KV, backed by the native C++ store
+    (csrc/host_store.cpp) — counterpart of the reference's
+    native_host_kvcache_manager.py:32 `NativeHostKVStorage` + its C++
+    runtime. Python-side (outside jit): offload pulls a user's gathered KV
+    to host; onboard device_puts it back and appends. Async overlap comes
+    from dispatching the device_put before the compute that consumes it."""
 
     def __init__(self, cfg: KVCacheConfig):
+        from recsys_examples_tpu.utils.native import NativeHostStore
+
         self.cfg = cfg
-        self.store: Dict[int, Tuple[np.ndarray, np.ndarray, int]] = {}
+        # one row per user: [2, L, max_len, H, dh] flattened (k ++ v);
+        # the valid token count rides in the score column
+        self._row_elems = (
+            2 * cfg.num_layers * cfg.max_cached_len * cfg.num_heads
+            * cfg.head_dim
+        )
+        self._store = NativeHostStore(self._row_elems)
 
     def offload(self, state: KVCacheState, user_id: int) -> None:
         slot, cached = lookup_kvcache(
@@ -330,19 +339,48 @@ class HostKVStorage:
         k, v, _ = gather_kvcache(
             state, self.cfg, slot, self.cfg.max_cached_len
         )
-        self.store[user_id] = (
-            np.asarray(k[:, 0, :n]), np.asarray(v[:, 0, :n]), n
+        row = np.concatenate([
+            np.asarray(k[:, 0], np.float32).reshape(-1),
+            np.asarray(v[:, 0], np.float32).reshape(-1),
+        ])[None]
+        self._store.put(
+            np.asarray([user_id], np.int64), row,
+            np.asarray([n], np.int64),
         )
 
     def lookup(self, user_id: int) -> int:
-        return self.store.get(user_id, (None, None, 0))[2]
+        if self._store.native:
+            import ctypes
+
+            import recsys_examples_tpu.utils.native as nat
+
+            keys = np.asarray([user_id], np.int64)
+            scores = np.zeros((1,), np.int64)
+            found = np.zeros((1,), np.uint8)
+            rows = np.zeros((1, self._row_elems), np.float32)
+            self._store._lib.host_store_get(
+                self._store._h, nat._ptr(keys), nat._ptr(rows),
+                nat._ptr(scores), nat._ptr(found), 1,
+            )
+            return int(scores[0]) if found[0] else 0
+        rows, found = self._store.get(np.asarray([user_id], np.int64))
+        return int(self._store._scores.get(int(user_id), 0)) if found[0] else 0
 
     def onboard(
         self, state: KVCacheState, user_id: int
     ) -> KVCacheState:
-        if user_id not in self.store:
+        n = self.lookup(user_id)
+        if n == 0:
             return state
-        k, v, n = self.store[user_id]
+        rows, found = self._store.get(np.asarray([user_id], np.int64))
+        if not found[0]:
+            return state
+        cfg = self.cfg
+        shape = (cfg.num_layers, cfg.max_cached_len, cfg.num_heads,
+                 cfg.head_dim)
+        half = self._row_elems // 2
+        k = rows[0, :half].reshape(shape)[:, :n]
+        v = rows[0, half:].reshape(shape)[:, :n]
         uid = jnp.asarray([user_id], jnp.int64)
         state, slots = allocate_kvcache(
             state, self.cfg, uid, jnp.asarray([n], jnp.int32)

@@ -1,0 +1,78 @@
+"""Dataset loader: native C++ assembler vs Python fallback equivalence,
+preprocessor roundtrip, prefetch iterator (reference test model:
+examples/hstu/test dataset tests)."""
+import numpy as np
+import pytest
+
+from recsys_examples_tpu.data.sequence_dataset import (
+    PrefetchIterator,
+    SequenceDataset,
+    preprocess_movielens,
+)
+
+
+@pytest.fixture(scope="module")
+def npz_path(tmp_path_factory):
+    """Synthetic ml-style ratings -> preprocessed npz."""
+    tmp = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(0)
+    rows = []
+    for uid in range(1, 21):
+        n = rng.integers(6, 40)
+        ts = np.sort(rng.integers(0, 10_000, size=n))
+        for t in ts:
+            rows.append((uid, int(rng.integers(1, 500)),
+                         int(rng.integers(1, 6)), int(t)))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["user_id", "movie_id", "rating", "ts"])
+    csv = tmp / "ratings.csv"
+    df.to_csv(csv, index=False)
+    out = tmp / "seq.npz"
+    preprocess_movielens(str(csv), str(out))
+    return str(out)
+
+
+def test_native_assembler_matches_python(npz_path):
+    from recsys_examples_tpu.utils.native import batch_assembler_lib
+
+    if batch_assembler_lib() is None:
+        pytest.skip("native assembler unavailable")
+    ds = SequenceDataset(npz_path, max_history_len=16,
+                         max_num_candidates=2, action_vocab_size=6)
+    uids = np.arange(8)
+    cap = 8 * 18
+    native = ds._assemble(uids, train=True, cap=cap)
+
+    # force the python path
+    import recsys_examples_tpu.utils.native as nat
+
+    saved = nat._asm_lib, nat._asm_tried
+    nat._asm_lib, nat._asm_tried = None, True
+    try:
+        py = ds._assemble(uids, train=True, cap=cap)
+    finally:
+        nat._asm_lib, nat._asm_tried = saved
+    for a, b, name in zip(native, py,
+                          "iv av lens ncand labels lab_len".split()):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_batches_and_prefetch(npz_path):
+    ds = SequenceDataset(npz_path, max_history_len=16,
+                         max_num_candidates=2, action_vocab_size=6)
+    it = ds.batches(4, train=False, shuffle=False)
+    batches = list(PrefetchIterator(it))
+    assert len(batches) == 5  # 20 users / 4
+    b = batches[0]
+    assert b.batch_size == 4
+    lens = np.asarray(b.features["item"].lengths)
+    assert (lens >= 1).all() and (lens <= 18).all()
+    # eval includes the holdout item; train excludes it (both windows are
+    # capped at max_history_len + max_num_candidates = 18, so users whose
+    # raw history exceeds the window stay at 18 in both splits)
+    it_tr = ds.batches(4, train=True, shuffle=False)
+    tr = np.asarray(next(iter(it_tr)).features["item"].lengths)
+    uncapped = lens < 18
+    np.testing.assert_array_equal(tr[uncapped], lens[uncapped] - 1)
+    np.testing.assert_array_equal(tr[~uncapped], 18)
