@@ -42,6 +42,12 @@ class HSTUConfig:
     is_causal: bool = True
     target_group_size: int = 1
     max_attn_len: int = 0
+    # trainable T5-style relative attention bias fed to the kernel as rab
+    # (reference: rab/has_drab of hstu_attn_varlen_func); dense [1,H,N,N],
+    # so intended for moderate max_seqlen configs
+    use_relative_attention_bias: bool = False
+    relative_bias_num_buckets: int = 128
+    relative_bias_max_distance: int = 1024
     learnable_input_layernorm: bool = True
     learnable_output_layernorm: bool = False
     residual: bool = True

@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 from recsys_examples_tpu.modules.config import HSTUConfig, KernelBackend
 from recsys_examples_tpu.ops.hstu_attention_ref import hstu_mha_reference
-from recsys_examples_tpu.ops.pallas.hstu_attention import hstu_attn_varlen
+from recsys_examples_tpu.ops.pallas.hstu_attention import (
+    hstu_attn_varlen,
+    hstu_attn_varlen_rab,
+)
 
 AttentionFn = Callable[..., jax.Array]
 
@@ -33,9 +36,23 @@ def create_hstu_attention(config: HSTUConfig) -> AttentionFn:
         num_contextuals: Optional[jax.Array] = None,
         num_targets: Optional[jax.Array] = None,
         scaling_seqlen: int = -1,
+        rab: Optional[jax.Array] = None,  # [B|1, H|1, N, N]
     ) -> jax.Array:
         alpha = 1.0 / (config.kv_channels ** 0.5)
         if backend == KernelBackend.PALLAS:
+            if rab is not None:
+                return hstu_attn_varlen_rab(
+                    q, k, v, rab,
+                    (seq_offsets, num_contextuals, num_targets),
+                    max_seqlen=max_seqlen,
+                    alpha=alpha,
+                    scaling_seqlen=scaling_seqlen,
+                    causal=config.is_causal,
+                    target_group_size=config.target_group_size,
+                    max_attn_len=config.max_attn_len,
+                    block_q=config.attn_block_q,
+                    block_k=config.attn_block_k,
+                )
             return hstu_attn_varlen(
                 q, k, v,
                 (seq_offsets, num_contextuals, num_targets),
@@ -56,6 +73,7 @@ def create_hstu_attention(config: HSTUConfig) -> AttentionFn:
             max_attn_len=config.max_attn_len,
             target_group_size=config.target_group_size,
             scaling_seqlen=scaling_seqlen,
+            rab=rab,
         )
         return out.astype(v.dtype)
 

@@ -79,7 +79,20 @@ class HSTULayer(nn.Module):
         q = uvqk[..., 2 * dh:3 * dh]
         k = uvqk[..., 3 * dh:4 * dh]
 
-        # ---- jagged SiLU attention
+        # ---- jagged SiLU attention (optional trainable relative bias)
+        rab = None
+        if cfg.use_relative_attention_bias:
+            from recsys_examples_tpu.modules.position_encoder import (
+                RelativeAttentionBias,
+            )
+
+            rab = RelativeAttentionBias(
+                num_heads=H,
+                num_buckets=cfg.relative_bias_num_buckets,
+                max_distance=cfg.relative_bias_max_distance,
+                causal=cfg.is_causal,
+                name="relative_bias",
+            )(jd.max_seqlen)
         attn_fn = create_hstu_attention(cfg)
         attn_out = attn_fn(
             q, k, v,
@@ -92,6 +105,7 @@ class HSTULayer(nn.Module):
             scaling_seqlen=jd.scaling_seqlen
             if jd.scaling_seqlen > 0
             else jd.max_seqlen,
+            rab=rab,
         )  # [T, H, dh]
         attn_out = attn_out.reshape(-1, H * dh)
 

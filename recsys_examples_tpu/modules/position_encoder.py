@@ -79,3 +79,54 @@ class HSTUPositionalEncoder(nn.Module):
         total = seq_offsets[-1]
         valid = (jnp.arange(T, dtype=jnp.int32) < total)[:, None]
         return jnp.where(valid, out, jnp.zeros((), out.dtype))
+
+
+def t5_relative_buckets(
+    rel: jax.Array, num_buckets: int, max_distance: int, causal: bool
+) -> jax.Array:
+    """T5-style log-bucketed relative positions (rel = q_pos - k_pos)."""
+    n = num_buckets
+    if causal:
+        rel = jnp.maximum(rel, 0)
+        base = jnp.zeros_like(rel)
+    else:
+        n = n // 2
+        base = (rel < 0).astype(jnp.int32) * n
+        rel = jnp.abs(rel)
+    max_exact = n // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact)
+        / jnp.log(max_distance / max_exact)
+        * (n - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, n - 1)
+    return base + jnp.where(is_small, rel, large)
+
+
+class RelativeAttentionBias(nn.Module):
+    """Trainable relative attention bias producing the dense rab tensor the
+    HSTU attention contract takes (reference: rab/has_drab arguments of
+    hstu_attn_varlen_func, corelib/hstu/hstu_attn/hstu_attn_interface.py:185;
+    bias construction mirrors the relative position/time bias of the HSTU
+    lineage). Returns [1, H, N, N]."""
+
+    num_heads: int
+    num_buckets: int = 128
+    max_distance: int = 1024
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, max_seqlen: int) -> jax.Array:
+        w = self.param(
+            "rel_bias",
+            nn.initializers.normal(0.02),
+            (self.num_buckets, self.num_heads),
+        )
+        pos = jnp.arange(max_seqlen, dtype=jnp.int32)
+        rel = pos[:, None] - pos[None, :]
+        bucket = t5_relative_buckets(
+            rel, self.num_buckets, self.max_distance, self.causal
+        )
+        rab = w[bucket]                         # [N, N, H]
+        return rab.transpose(2, 0, 1)[None]     # [1, H, N, N]

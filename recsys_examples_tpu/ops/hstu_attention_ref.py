@@ -112,6 +112,7 @@ def hstu_mha_reference(
     max_attn_len: int = 0,
     target_group_size: int = 1,
     scaling_seqlen: int = -1,
+    rab: Optional[jax.Array] = None,  # [B|1, H|1, N, N] relative attn bias
 ) -> jax.Array:
     """Jagged HSTU multi-head attention, dense-padded reference path.
 
@@ -133,6 +134,8 @@ def hstu_mha_reference(
     qk = jnp.einsum(
         "bhxa,bhya->bhxy", pq, pk, preferred_element_type=jnp.float32
     ) * alpha
+    if rab is not None:
+        qk = qk + rab[:, :, :N, :N].astype(jnp.float32)
     p = jax.nn.silu(qk) * (1.0 / scaling_seqlen)
     seq_lengths = seq_offsets[1:] - seq_offsets[:-1]
     mask = get_valid_attn_mask(

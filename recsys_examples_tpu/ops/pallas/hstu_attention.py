@@ -131,11 +131,11 @@ def _read_meta(meta_ref, b, B, has_context, has_targets):
 
 def _fwd_kernel(
     meta_ref,
-    q_hbm, k_hbm, v_hbm,
+    q_hbm, k_hbm, v_hbm, rab_hbm,
     o_hbm,
-    q_buf, k_buf, v_buf, o_buf, acc_ref,
+    q_buf, k_buf, v_buf, rab_buf, o_buf, acc_ref,
     sem,
-    *, B, H, D, V, BQ, BK,
+    *, B, H, D, V, BQ, BK, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
@@ -166,9 +166,19 @@ def _fwd_kernel(
                 ),
             )
 
+        def rab_dma(kj):
+            return pltpu.make_async_copy(
+                rab_hbm.at[b, :, pl.ds(pl.multiple_of(q_lo, BQ), BQ),
+                           pl.ds(pl.multiple_of(kj * jnp.int32(BK), BK), BK)],
+                rab_buf, sem.at[jnp.int32(6)],
+            )
+
         dk0, dv0 = kv_dma(jnp.int32(0), jnp.int32(0))
         dk0.start()
         dv0.start()
+        if has_rab:
+            r0 = rab_dma(jnp.int32(0))
+            r0.start()
 
         acc_ref[:] = jnp.zeros_like(acc_ref)
         q_dma.wait()
@@ -187,6 +197,9 @@ def _fwd_kernel(
             dkc, dvc = kv_dma(slot, kj)
             dkc.wait()
             dvc.wait()
+            if has_rab:
+                rab_dma(kj).wait()
+                rab_tile = rab_buf[:].astype(jnp.float32)
 
             col_pos = kj * jnp.int32(BK) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
             mask = _compute_mask(
@@ -203,12 +216,18 @@ def _fwd_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * alpha
+                if has_rab:
+                    sc = sc + rab_tile[h]
                 p = _silu_f32(sc) * inv_scaling * mask
                 acc_ref[:, h * V:(h + 1) * V] += jax.lax.dot_general(
                     p.astype(vf.dtype), vf[:, h * V:(h + 1) * V],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+            if has_rab:
+                @pl.when(kj + 1 < num_kb)
+                def _():
+                    rab_dma(kj + 1).start()
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
@@ -220,11 +239,11 @@ def _fwd_kernel(
 
 def _bwd_dq_kernel(
     meta_ref,
-    q_hbm, k_hbm, v_hbm, do_hbm,
-    dq_hbm,
-    q_buf, do_buf, k_buf, v_buf, dq_buf, acc_ref,
+    q_hbm, k_hbm, v_hbm, do_hbm, rab_hbm,
+    dq_hbm, drab_hbm,
+    q_buf, do_buf, k_buf, v_buf, rab_buf, drab_buf, dq_buf, acc_ref,
     sem,
-    *, B, H, D, V, BQ, BK,
+    *, B, H, D, V, BQ, BK, NK, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
@@ -257,9 +276,26 @@ def _bwd_dq_kernel(
                 ),
             )
 
+        def rab_rd(kj):
+            return pltpu.make_async_copy(
+                rab_hbm.at[b, :, pl.ds(pl.multiple_of(q_lo, BQ), BQ),
+                           pl.ds(pl.multiple_of(kj * jnp.int32(BK), BK), BK)],
+                rab_buf, sem.at[jnp.int32(6)],
+            )
+
+        def drab_wr(kj):
+            return pltpu.make_async_copy(
+                drab_buf,
+                drab_hbm.at[b, :, pl.ds(pl.multiple_of(q_lo, BQ), BQ),
+                            pl.ds(pl.multiple_of(kj * jnp.int32(BK), BK), BK)],
+                sem.at[jnp.int32(7)],
+            )
+
         a0, b0 = kv_dma(jnp.int32(0), jnp.int32(0))
         a0.start()
         b0.start()
+        if has_rab:
+            rab_rd(jnp.int32(0)).start()
         acc_ref[:] = jnp.zeros_like(acc_ref)
         d1.wait()
         d2.wait()
@@ -279,6 +315,9 @@ def _bwd_dq_kernel(
             dkc, dvc = kv_dma(slot, kj)
             dkc.wait()
             dvc.wait()
+            if has_rab:
+                rab_rd(kj).wait()
+                rab_tile = rab_buf[:].astype(jnp.float32)
             col_pos = kj * jnp.int32(BK) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
             mask = _compute_mask(
                 row_pos, col_pos, n, c, t,
@@ -296,33 +335,80 @@ def _bwd_dq_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * alpha
+                if has_rab:
+                    sc = sc + rab_tile[h]
                 dp = jax.lax.dot_general(
                     dof[:, hv], vf[:, hv],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                ds = dp * _dsilu_f32(sc) * (inv_scaling * alpha) * mask
+                # d(arg)/d(rab) = 1, d(arg)/d(q k) chain has the extra alpha
+                ds_rab = dp * _dsilu_f32(sc) * inv_scaling * mask
+                ds = ds_rab * alpha
+                if has_rab:
+                    drab_buf[h] = ds_rab.astype(drab_buf.dtype)
                 acc_ref[:, hd] += jax.lax.dot_general(
                     ds, kf[:, hd],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+            if has_rab:
+                w = drab_wr(kj)
+                w.start()
+                w.wait()
+
+                @pl.when(kj + 1 < num_kb)
+                def _():
+                    rab_rd(kj + 1).start()
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
+        if has_rab:
+            # zero the drab tiles this q strip never visited
+            drab_buf[:] = jnp.zeros_like(drab_buf)
+
+            def zbody(kj, _):
+                w = drab_wr(kj)
+                w.start()
+                w.wait()
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(num_kb, jnp.int32(NK), zbody, jnp.int32(0),
+                              unroll=False)
         dq_buf[:] = acc_ref[:].astype(dq_buf.dtype)
         d = pltpu.make_async_copy(dq_buf, dq_hbm.at[pl.ds(s, BQ)], sem.at[jnp.int32(0)])
         d.start()
         d.wait()
 
+    if has_rab:
+        # q strips entirely beyond n still own drab rows: zero them
+        @pl.when(q_lo >= n)
+        def _zero_strip():
+            drab_buf[:] = jnp.zeros_like(drab_buf)
+
+            def zbody(kj, _):
+                w = pltpu.make_async_copy(
+                    drab_buf,
+                    drab_hbm.at[b, :, pl.ds(pl.multiple_of(q_lo, BQ), BQ),
+                                pl.ds(pl.multiple_of(kj * jnp.int32(BK), BK),
+                                      BK)],
+                    sem.at[jnp.int32(7)],
+                )
+                w.start()
+                w.wait()
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(NK), zbody,
+                              jnp.int32(0), unroll=False)
+
 
 def _bwd_dkv_kernel(
     meta_ref,
-    q_hbm, k_hbm, v_hbm, do_hbm,
+    q_hbm, k_hbm, v_hbm, do_hbm, rab_hbm,
     dk_hbm, dv_hbm,
-    k_buf, v_buf, q_buf, do_buf, dk_buf, dv_buf, acck_ref, accv_ref,
+    k_buf, v_buf, q_buf, do_buf, rab_buf, dk_buf, dv_buf, acck_ref, accv_ref,
     sem,
-    *, B, H, D, V, BQ, BK,
+    *, B, H, D, V, BQ, BK, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
@@ -360,9 +446,19 @@ def _bwd_dkv_kernel(
                 ),
             )
 
+        def rab_rd(qj):
+            return pltpu.make_async_copy(
+                rab_hbm.at[b, :,
+                           pl.ds(pl.multiple_of(qj * jnp.int32(BQ), BQ), BQ),
+                           pl.ds(pl.multiple_of(k_lo, BK), BK)],
+                rab_buf, sem.at[jnp.int32(6)],
+            )
+
         a0, b0 = q_dma(jnp.int32(0), q_start_blk)
         a0.start()
         b0.start()
+        if has_rab:
+            rab_rd(q_start_blk).start()
         acck_ref[:] = jnp.zeros_like(acck_ref)
         accv_ref[:] = jnp.zeros_like(accv_ref)
         d1.wait()
@@ -384,6 +480,9 @@ def _bwd_dkv_kernel(
             ac, bc = q_dma(slot, qj)
             ac.wait()
             bc.wait()
+            if has_rab:
+                rab_rd(qj).wait()
+                rab_tile = rab_buf[:].astype(jnp.float32)
             row_pos = qj * jnp.int32(BQ) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
             mask = _compute_mask(
                 row_pos, col_pos, n, c, t,
@@ -401,6 +500,8 @@ def _bwd_dkv_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * alpha
+                if has_rab:
+                    sc = sc + rab_tile[h]
                 p = _silu_f32(sc) * inv_scaling * mask
                 accv_ref[:, hv] += jax.lax.dot_general(
                     p, dof[:, hv],
@@ -418,6 +519,10 @@ def _bwd_dkv_kernel(
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+            if has_rab:
+                @pl.when(qj + 1 < num_qb)
+                def _():
+                    rab_rd(qj + 1).start()
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), (num_qb - q_start_blk).astype(jnp.int32), body, jnp.int32(0), unroll=False)
@@ -499,8 +604,21 @@ class _Layout:
         ])
 
 
+def _pad_rab(rab, B, H, NQP, NKP):
+    """Pad dense rab [B|1, H|1, N, N] to the kernel's tiled extents and
+    broadcast singleton batch/head dims."""
+    rab = jnp.broadcast_to(
+        rab, (B, H) + rab.shape[2:]
+    )
+    pq = NQP - rab.shape[2]
+    pk = NKP - rab.shape[3]
+    if pq or pk:
+        rab = jnp.pad(rab, ((0, 0), (0, 0), (0, pq), (0, pk)))
+    return rab
+
+
 def _hstu_fwd_impl(
-    q, k, v, aux, max_seqlen, alpha, scaling_seqlen, causal,
+    q, k, v, rab, aux, max_seqlen, alpha, scaling_seqlen, causal,
     target_group_size, max_attn_len, min_full_attn_seq_len,
     block_q, block_k, interpret,
 ):
@@ -512,14 +630,91 @@ def _hstu_fwd_impl(
         scaling_seqlen = max_seqlen
     BQ, BK = block_q, block_k
     NQ = pl.cdiv(max_seqlen, BQ)
+    NK = pl.cdiv(max_seqlen, BK)
     lay = _Layout(seq_offsets, T, max(BQ, BK))
     meta = lay.meta(num_contextuals, num_targets)
     qa = lay.to_aligned(q.reshape(T, H * D))
     ka = lay.to_aligned(k.reshape(T, H * D))
     va = lay.to_aligned(v.reshape(T, H * V))
+    has_rab = rab is not None
 
     kernel = functools.partial(
         _fwd_kernel,
+        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK, has_rab=has_rab,
+        alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
+        causal=causal,
+        has_context=num_contextuals is not None,
+        has_targets=num_targets is not None,
+        target_group_size=target_group_size,
+        max_attn_len=max_attn_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+    )
+    ins = [meta, qa, ka, va]
+    scratch = [
+        pltpu.VMEM((BQ, H * D), q.dtype),
+        pltpu.VMEM((2, BK, H * D), k.dtype),
+        pltpu.VMEM((2, BK, H * V), v.dtype),
+    ]
+    if has_rab:
+        raba = _pad_rab(rab, B, H, NQ * BQ, NK * BK)
+        ins.append(raba)
+        scratch.append(pltpu.VMEM((H, BQ, BK), raba.dtype))
+        body = kernel
+        n_in = 4
+    else:
+        scratch.append(pltpu.VMEM((8, 128), q.dtype))  # unused slot
+
+        def body(meta_ref, q_hbm, k_hbm, v_hbm, o_hbm,
+                 q_buf, k_buf, v_buf, _unused, o_buf, acc_ref, sem):
+            kernel(meta_ref, q_hbm, k_hbm, v_hbm, None, o_hbm,
+                   q_buf, k_buf, v_buf, None, o_buf, acc_ref, sem)
+
+        n_in = 3
+    scratch += [
+        pltpu.VMEM((BQ, H * V), v.dtype),
+        pltpu.VMEM((BQ, H * V), jnp.float32),
+        pltpu.SemaphoreType.DMA((7,)),
+    ]
+    out = pl.pallas_call(
+        body,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, NQ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*ins)
+    return lay.to_packed(out).reshape(T, H, V)
+
+
+def _hstu_bwd_impl(
+    q, k, v, rab, aux, g,
+    max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
+    max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+):
+    seq_offsets, num_contextuals, num_targets = aux
+    T, H, D = q.shape
+    V = v.shape[2]
+    B = seq_offsets.shape[0] - 1
+    if scaling_seqlen == -1:
+        scaling_seqlen = max_seqlen
+    BQ, BK = block_q, block_k
+    lay = _Layout(seq_offsets, T, max(BQ, BK))
+    meta = lay.meta(num_contextuals, num_targets)
+    qa = lay.to_aligned(q.reshape(T, H * D))
+    ka = lay.to_aligned(k.reshape(T, H * D))
+    va = lay.to_aligned(v.reshape(T, H * V))
+    ga = lay.to_aligned(g.astype(v.dtype).reshape(T, H * V))
+    has_rab = rab is not None
+    NQ = pl.cdiv(max_seqlen, BQ)
+    NK = pl.cdiv(max_seqlen, BK)
+    common = dict(
         B=B, H=H, D=D, V=V, BQ=BQ, BK=BK,
         alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
         causal=causal,
@@ -529,29 +724,140 @@ def _hstu_fwd_impl(
         max_attn_len=max_attn_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
     )
-    out = pl.pallas_call(
-        kernel,
+    raba = None
+    if has_rab:
+        raba = _pad_rab(rab, B, H, NQ * BQ, NK * BK)
+
+    # ---- dq (+ drab)
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, NK=NK, has_rab=has_rab, **common
+    )
+    ins = [meta, qa, ka, va, ga]
+    scratch = [
+        pltpu.VMEM((BQ, H * D), q.dtype),
+        pltpu.VMEM((BQ, H * V), v.dtype),
+        pltpu.VMEM((2, BK, H * D), k.dtype),
+        pltpu.VMEM((2, BK, H * V), v.dtype),
+    ]
+    if has_rab:
+        ins.append(raba)
+        scratch += [
+            pltpu.VMEM((H, BQ, BK), raba.dtype),
+            pltpu.VMEM((H, BQ, BK), jnp.float32),
+        ]
+        body = dq_kernel
+        n_in, n_out = 5, 2
+        out_shape = [
+            jax.ShapeDtypeStruct((lay.T_al, H * D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, NQ * BQ, NK * BK), jnp.float32),
+        ]
+    else:
+        scratch += [
+            pltpu.VMEM((8, 128), q.dtype),
+            pltpu.VMEM((8, 128), jnp.float32),
+        ]
+
+        def body(meta_ref, q_hbm, k_hbm, v_hbm, do_hbm, dq_hbm,
+                 q_buf, do_buf, k_buf, v_buf, _r, _dr, dq_buf, acc_ref, sem):
+            dq_kernel(meta_ref, q_hbm, k_hbm, v_hbm, do_hbm, None,
+                      dq_hbm, None, q_buf, do_buf, k_buf, v_buf, None, None,
+                      dq_buf, acc_ref, sem)
+
+        n_in, n_out = 4, 1
+        out_shape = jax.ShapeDtypeStruct((lay.T_al, H * D), q.dtype)
+    scratch += [
+        pltpu.VMEM((BQ, H * D), q.dtype),
+        pltpu.VMEM((BQ, H * D), jnp.float32),
+        pltpu.SemaphoreType.DMA((8,)),
+    ]
+    res = pl.pallas_call(
+        body,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, NQ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((BQ, H * D), q.dtype),
-                pltpu.VMEM((2, BK, H * D), k.dtype),
-                pltpu.VMEM((2, BK, H * V), v.dtype),
-                pltpu.VMEM((BQ, H * V), v.dtype),
-                pltpu.VMEM((BQ, H * V), jnp.float32),
-                pltpu.SemaphoreType.DMA((6,)),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+            out_specs=(
+                [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
+                if n_out > 1
+                else pl.BlockSpec(memory_space=pltpu.ANY)
+            ),
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(meta, qa, ka, va)
-    return lay.to_packed(out).reshape(T, H, V)
+    )(*ins)
+    if has_rab:
+        dq, drab_full = res
+        nr_q, nr_k = rab.shape[2], rab.shape[3]
+        drab = drab_full[:, :, :nr_q, :nr_k]
+        # broadcast dims of rab accumulate their grads
+        if rab.shape[0] == 1 and B > 1:
+            drab = drab.sum(axis=0, keepdims=True)
+        if rab.shape[1] == 1 and H > 1:
+            drab = drab.sum(axis=1, keepdims=True)
+        drab = drab.astype(rab.dtype)
+    else:
+        dq, drab = res, None
+    dq = lay.to_packed(dq).reshape(T, H, D)
+
+    # ---- dk/dv
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, has_rab=has_rab, **common
+    )
+    ins = [meta, qa, ka, va, ga]
+    scratch = [
+        pltpu.VMEM((BK, H * D), k.dtype),
+        pltpu.VMEM((BK, H * V), v.dtype),
+        pltpu.VMEM((2, BQ, H * D), q.dtype),
+        pltpu.VMEM((2, BQ, H * V), v.dtype),
+    ]
+    if has_rab:
+        ins.append(raba)
+        scratch.append(pltpu.VMEM((H, BQ, BK), raba.dtype))
+        body2 = dkv_kernel
+        n_in = 5
+    else:
+        scratch.append(pltpu.VMEM((8, 128), q.dtype))
+
+        def body2(meta_ref, q_hbm, k_hbm, v_hbm, do_hbm, dk_hbm, dv_hbm,
+                  k_buf, v_buf, q_buf, do_buf, _r, dk_buf, dv_buf,
+                  acck_ref, accv_ref, sem):
+            dkv_kernel(meta_ref, q_hbm, k_hbm, v_hbm, do_hbm, None,
+                       dk_hbm, dv_hbm, k_buf, v_buf, q_buf, do_buf, None,
+                       dk_buf, dv_buf, acck_ref, accv_ref, sem)
+
+        n_in = 4
+    scratch += [
+        pltpu.VMEM((BK, H * D), k.dtype),
+        pltpu.VMEM((BK, H * V), v.dtype),
+        pltpu.VMEM((BK, H * D), jnp.float32),
+        pltpu.VMEM((BK, H * V), jnp.float32),
+        pltpu.SemaphoreType.DMA((7,)),
+    ]
+    dk, dv = pl.pallas_call(
+        body2,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, NK),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            scratch_shapes=scratch,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((lay.T_al, H * D), k.dtype),
+            jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*ins)
+    dk = lay.to_packed(dk).reshape(T, H, D)
+    dv = lay.to_packed(dv).reshape(T, H, V)
+    return dq, dk, dv, drab
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(4, 14)))
@@ -573,7 +879,7 @@ def hstu_attn_varlen(
 ):
     """Jagged varlen HSTU attention: q,k [T,H,D], v [T,H,V] -> [T,H,V]."""
     return _hstu_fwd_impl(
-        q, k, v, aux, max_seqlen, alpha, scaling_seqlen, causal,
+        q, k, v, None, aux, max_seqlen, alpha, scaling_seqlen, causal,
         target_group_size, max_attn_len, min_full_attn_seq_len,
         block_q, block_k, interpret,
     )
@@ -585,7 +891,7 @@ def _vjp_fwd(
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
 ):
     out = _hstu_fwd_impl(
-        q, k, v, aux, max_seqlen, alpha, scaling_seqlen, causal,
+        q, k, v, None, aux, max_seqlen, alpha, scaling_seqlen, causal,
         target_group_size, max_attn_len, min_full_attn_seq_len,
         block_q, block_k, interpret,
     )
@@ -598,87 +904,71 @@ def _vjp_bwd(
     residuals, g,
 ):
     q, k, v, aux = residuals
-    seq_offsets, num_contextuals, num_targets = aux
-    T, H, D = q.shape
-    V = v.shape[2]
-    B = seq_offsets.shape[0] - 1
-    if scaling_seqlen == -1:
-        scaling_seqlen = max_seqlen
-    BQ, BK = block_q, block_k
-    lay = _Layout(seq_offsets, T, max(BQ, BK))
-    meta = lay.meta(num_contextuals, num_targets)
-    qa = lay.to_aligned(q.reshape(T, H * D))
-    ka = lay.to_aligned(k.reshape(T, H * D))
-    va = lay.to_aligned(v.reshape(T, H * V))
-    ga = lay.to_aligned(g.astype(v.dtype).reshape(T, H * V))
-    common = dict(
-        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK,
-        alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
-        causal=causal,
-        has_context=num_contextuals is not None,
-        has_targets=num_targets is not None,
-        target_group_size=target_group_size,
-        max_attn_len=max_attn_len,
-        min_full_attn_seq_len=min_full_attn_seq_len,
+    dq, dk, dv, _ = _hstu_bwd_impl(
+        q, k, v, None, aux, g,
+        max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
+        max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
     )
-    NQ = pl.cdiv(max_seqlen, BQ)
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **common),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, NQ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((BQ, H * D), q.dtype),
-                pltpu.VMEM((BQ, H * V), v.dtype),
-                pltpu.VMEM((2, BK, H * D), k.dtype),
-                pltpu.VMEM((2, BK, H * V), v.dtype),
-                pltpu.VMEM((BQ, H * D), q.dtype),
-                pltpu.VMEM((BQ, H * D), jnp.float32),
-                pltpu.SemaphoreType.DMA((6,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((lay.T_al, H * D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(meta, qa, ka, va, ga)
-    dq = lay.to_packed(dq).reshape(T, H, D)
-
-    NK = pl.cdiv(max_seqlen, BK)
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **common),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, NK),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-            scratch_shapes=[
-                pltpu.VMEM((BK, H * D), k.dtype),
-                pltpu.VMEM((BK, H * V), v.dtype),
-                pltpu.VMEM((2, BQ, H * D), q.dtype),
-                pltpu.VMEM((2, BQ, H * V), v.dtype),
-                pltpu.VMEM((BK, H * D), k.dtype),
-                pltpu.VMEM((BK, H * V), v.dtype),
-                pltpu.VMEM((BK, H * D), jnp.float32),
-                pltpu.VMEM((BK, H * V), jnp.float32),
-                pltpu.SemaphoreType.DMA((6,)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((lay.T_al, H * D), k.dtype),
-            jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(meta, qa, ka, va, ga)
-    dk = lay.to_packed(dk).reshape(T, H, D)
-    dv = lay.to_packed(dv).reshape(T, H, V)
     return dq, dk, dv, None
 
 
 hstu_attn_varlen.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(5, 15)))
+def hstu_attn_varlen_rab(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rab: jax.Array,  # [B|1, H|1, N, N] dense relative attention bias
+    aux,
+    max_seqlen: int = 0,
+    alpha: float = 1.0,
+    scaling_seqlen: int = -1,
+    causal: bool = True,
+    target_group_size: int = 1,
+    max_attn_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+    block_q: int = DEF_BLOCK_Q,
+    block_k: int = DEF_BLOCK_K,
+    interpret: bool = False,
+):
+    """HSTU attention with (trainable) relative attention bias:
+    p = silu(q k^T alpha + rab) / scaling * mask
+    (reference contract: hstu_attn_varlen_func(rab=..., has_drab=True),
+    corelib/hstu/hstu_attn/hstu_attn_interface.py:185)."""
+    return _hstu_fwd_impl(
+        q, k, v, rab, aux, max_seqlen, alpha, scaling_seqlen, causal,
+        target_group_size, max_attn_len, min_full_attn_seq_len,
+        block_q, block_k, interpret,
+    )
+
+
+def _vjp_rab_fwd(
+    q, k, v, rab, aux,
+    max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
+    max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+):
+    out = _hstu_fwd_impl(
+        q, k, v, rab, aux, max_seqlen, alpha, scaling_seqlen, causal,
+        target_group_size, max_attn_len, min_full_attn_seq_len,
+        block_q, block_k, interpret,
+    )
+    return out, (q, k, v, rab, aux)
+
+
+def _vjp_rab_bwd(
+    max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
+    max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+    residuals, g,
+):
+    q, k, v, rab, aux = residuals
+    dq, dk, dv, drab = _hstu_bwd_impl(
+        q, k, v, rab, aux, g,
+        max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
+        max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+    )
+    return dq, dk, dv, drab, None
+
+
+hstu_attn_varlen_rab.defvjp(_vjp_rab_fwd, _vjp_rab_bwd)

@@ -118,3 +118,56 @@ def test_retrieval_forward_and_step():
     for _ in range(4):
         state, m = step(state, batch, rng)
     assert float(m["loss"]) < float(m1["loss"])
+
+
+def test_ranking_with_relative_bias_trains():
+    """HSTU layer with trainable rab: grads flow and loss is finite."""
+    import dataclasses as _dc
+
+    from recsys_examples_tpu.data.hstu_batch import random_hstu_batch
+    from recsys_examples_tpu.models.ranking_gr import RankingGR
+    from recsys_examples_tpu.modules.config import (
+        HSTUConfig,
+        KernelBackend,
+        PositionEncodingConfig,
+        RankingConfig,
+    )
+
+    cfg = HSTUConfig(
+        hidden_size=32, num_layers=1, num_attention_heads=2, kv_channels=16,
+        hidden_dropout=0.0, kernel_backend=KernelBackend.JNP,
+        dtype=jnp.float32,
+        position_encoding_config=PositionEncodingConfig(
+            num_position_buckets=64
+        ),
+        use_relative_attention_bias=True,
+        relative_bias_num_buckets=16,
+        relative_bias_max_distance=64,
+        item_embedding_dim=32,
+    )
+    task = RankingConfig(embedding_configs=(), prediction_head_arch=(8, 1),
+                         num_tasks=1)
+    model = RankingGR(cfg, task)
+    batch = random_hstu_batch(seed=0, batch_size=2, max_history_len=16,
+                              item_vocab=100, max_num_candidates=2,
+                              num_tasks=1)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (batch.features["item"].values.shape[0], 32), jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(1), batch, embeddings={"item": emb})
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("relative_bias" in jax.tree_util.keystr(kp) for kp, _ in flat)
+
+    def loss_fn(p):
+        loss, _ = model.apply(p, batch, embeddings={"item": emb})
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(
+        float(jnp.abs(g).sum())
+        for kp, g in jax.tree_util.tree_leaves_with_path(grads)
+        if "relative_bias" in jax.tree_util.keystr(kp)
+    )
+    assert gnorm > 0, "rab received no gradient"

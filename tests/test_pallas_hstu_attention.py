@@ -98,3 +98,86 @@ def test_bwd_matches_reference(qkv):
             np.abs(np.asarray(b)).max() + 1e-9
         )
         assert rel < 1e-4
+
+
+def test_rab_fwd_and_drab_match_reference():
+    """rab forward + (dq,dk,dv,drab) grads vs the dense reference
+    (reference contract: hstu_attn_varlen_func rab/has_drab,
+    corelib/hstu/hstu_attn/hstu_attn_interface.py:185)."""
+    from recsys_examples_tpu.ops.pallas.hstu_attention import (
+        hstu_attn_varlen_rab,
+    )
+
+    B, N, H, D = 2, 256, 2, 128
+    T = 512
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    offs = jnp.asarray([0, 200, 456], jnp.int32)  # lens 200, 256 <= N
+    q = jax.random.normal(ks[0], (T, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (T, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (T, H, D), jnp.float32)
+    rab = jax.random.normal(ks[3], (B, H, N, N), jnp.float32) * 0.3
+    aux = (offs, None, None)
+
+    def kern(q, k, v, rab):
+        return hstu_attn_varlen_rab(
+            q, k, v, rab, aux, max_seqlen=N, alpha=0.08, causal=True,
+            interpret=True,
+        ).astype(jnp.float32)
+
+    def ref(q, k, v, rab):
+        return hstu_mha_reference(
+            N, 0.08, q, k, v, offs, causal=True, rab=rab
+        ).astype(jnp.float32)
+
+    out_k = kern(q, k, v, rab)
+    out_r = ref(q, k, v, rab)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_r), rtol=2e-4, atol=2e-4
+    )
+
+    seed = jax.random.normal(jax.random.PRNGKey(9), out_k.shape)
+    gk = jax.grad(lambda *a: (kern(*a) * seed).sum(), argnums=(0, 1, 2, 3))(
+        q, k, v, rab
+    )
+    gr = jax.grad(lambda *a: (ref(*a) * seed).sum(), argnums=(0, 1, 2, 3))(
+        q, k, v, rab
+    )
+    for a, b, name in zip(gk, gr, ["dq", "dk", "dv", "drab"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+            err_msg=name,
+        )
+
+
+def test_rab_broadcast_batch_head():
+    """rab with broadcast batch dim accumulates drab correctly."""
+    from recsys_examples_tpu.ops.pallas.hstu_attention import (
+        hstu_attn_varlen_rab,
+    )
+
+    N, H, D = 128, 2, 128
+    T = 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    offs = jnp.asarray([0, 100, 228], jnp.int32)
+    q = jax.random.normal(ks[0], (T, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (T, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (T, H, D), jnp.float32)
+    rab = jax.random.normal(ks[3], (1, H, N, N), jnp.float32) * 0.2
+    aux = (offs, None, None)
+
+    def kern(rab):
+        return hstu_attn_varlen_rab(
+            q, k, v, rab, aux, max_seqlen=N, alpha=0.1, interpret=True
+        ).astype(jnp.float32).sum()
+
+    def ref(rab):
+        return hstu_mha_reference(
+            N, 0.1, q, k, v, offs, causal=True, rab=rab
+        ).astype(jnp.float32).sum()
+
+    gk = jax.grad(kern)(rab)
+    gr = jax.grad(ref)(rab)
+    assert gk.shape == rab.shape
+    np.testing.assert_allclose(
+        np.asarray(gk), np.asarray(gr), rtol=3e-4, atol=3e-4
+    )
