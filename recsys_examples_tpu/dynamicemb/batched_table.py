@@ -211,3 +211,98 @@ class DynamicEmbeddingTable:
             step_val.astype(jnp.int32),
         )
         return dataclasses.replace(state, table=table)
+
+    # ------------------------------------------------------------ scores API
+    def get_score(
+        self, state: DynamicEmbTableState, keys: jax.Array
+    ) -> jax.Array:
+        """Per-key scores (-1 for missing) — reference:
+        BatchedDynamicEmbeddingTablesV2.get_score."""
+        from recsys_examples_tpu.dynamicemb.hashtable import lookup
+
+        slots, found = lookup(state.table, keys)
+        C = state.table.bucket_capacity
+        safe = jnp.clip(slots, 0, state.table.capacity - 1)
+        sc = state.table.scores[safe // C, safe % C]
+        return jnp.where(found, sc, jnp.int64(-1))
+
+    def set_score(
+        self,
+        state: DynamicEmbTableState,
+        keys: jax.Array,
+        scores: jax.Array,
+    ) -> DynamicEmbTableState:
+        """Overwrite scores of present keys — reference: set_score."""
+        from recsys_examples_tpu.dynamicemb.hashtable import (
+            lookup,
+            update_scores,
+        )
+
+        slots, _ = lookup(state.table, keys)
+        return dataclasses.replace(
+            state, table=update_scores(state.table, slots, scores)
+        )
+
+    # ------------------------------------------------------------ bulk ops
+    def fill(
+        self,
+        state: DynamicEmbTableState,
+        keys: jax.Array,
+        values: jax.Array,
+        scores: Optional[jax.Array] = None,
+    ) -> DynamicEmbTableState:
+        """Bulk insert (checkpoint load / FILL_DYNAMICEMB_TABLES path)."""
+        from recsys_examples_tpu.dynamicemb.optimizer import initial_opt_row
+
+        u = keys.shape[0]
+        if scores is None:
+            scores = jnp.full((u,), 1, jnp.int64) * (state.step[0] + 1)
+        init_opt = initial_opt_row(
+            self.opt_args.optimizer, u, self.dim, self.opt_args,
+            self.options.value_dtype,
+        )
+        table, _, _ = insert_and_evict(
+            state.table, keys, scores, values.astype(self.options.value_dtype),
+            init_opt, update_existing_values=True,
+            rounds=self.options.insert_rounds,
+        )
+        return dataclasses.replace(state, table=table)
+
+    def expand(
+        self, state: DynamicEmbTableState, factor: int = 2
+    ) -> Tuple["DynamicEmbeddingTable", DynamicEmbTableState]:
+        """Grow the table by `factor` and rehash all live entries — the
+        TPU analogue of the reference's VMM-backed in-place doubling
+        (corelib/dynamicemb/src/vmm_tensor.cu; expand_if_need_impl
+        key_value_table.py:624). XLA arrays cannot grow in place, so this
+        allocates the bigger table and re-inserts (one pass, batched)."""
+        import dataclasses as _dc
+
+        new_table = DynamicEmbeddingTable(
+            _dc.replace(
+                self.options, max_capacity=self.capacity * factor
+            ),
+            self.opt_args,
+        )
+        new_state = new_table.init_state()
+        nt = new_state.table
+        old = state.table
+        live = (old.keys != EMPTY_KEY).reshape(-1)
+        keys = old.keys.reshape(-1)
+        scores = old.scores.reshape(-1)
+        opt_rows = old.opt
+        masked = jnp.where(live, keys, EMPTY_KEY)
+        nt, slots, _ = insert_and_evict(
+            nt, masked, scores, old.values, opt_rows,
+            update_existing_values=True,
+            rounds=self.options.insert_rounds,
+        )
+        new_state = DynamicEmbTableState(
+            table=nt.replace(
+                inserted=old.inserted, evicted=old.evicted,
+                overflowed=old.overflowed,
+            ),
+            counter=new_state.counter,
+            step=state.step,
+        )
+        return new_table, new_state

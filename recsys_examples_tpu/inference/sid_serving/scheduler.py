@@ -37,16 +37,27 @@ class GRServingRequest:
 
 @dataclasses.dataclass(frozen=True)
 class BeamPolicy:
-    """Beam-width policy (reference: beam_policy.py fixed / scheduled /
-    score-margin)."""
-    kind: str = "fixed"            # fixed | scheduled
+    """Beam-width policy (reference: gr_scheduler/beam_policy.py:126
+    fixed / scheduled / score-margin). On TPU the executable's beam width
+    is static, so score_margin prunes RESULT beams whose accumulated
+    log-prob trails the best by more than `margin` (the reference narrows
+    live beams; same serving-visible effect on returned candidates)."""
+    kind: str = "fixed"            # fixed | scheduled | score_margin
     width: int = 64
     schedule: tuple = ()           # per-hierarchy widths when scheduled
+    margin: float = 5.0            # score_margin: max logprob gap to keep
 
     def width_for(self, hierarchy: int) -> int:
         if self.kind == "scheduled" and self.schedule:
             return self.schedule[min(hierarchy, len(self.schedule) - 1)]
         return self.width
+
+    def filter_results(self, paths, scores):
+        """[W, H], [W] -> pruned (paths, scores) per score_margin."""
+        if self.kind != "score_margin" or len(scores) == 0:
+            return paths, scores
+        keep = scores >= (scores.max() - self.margin)
+        return paths[keep], scores[keep]
 
 
 class GRContinuousScheduler:
@@ -55,13 +66,20 @@ class GRContinuousScheduler:
         engine: GRServingEngine,
         max_batch: int = 8,
         request_timeout_s: float = 30.0,
+        beam_policy: Optional[BeamPolicy] = None,
+        prefix_cache_size: int = 0,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.request_timeout_s = request_timeout_s
+        self.beam_policy = beam_policy or BeamPolicy()
         self.queue: deque[GRServingRequest] = deque()
         self.finished: Dict[str, GRServingRequest] = {}
         self.metrics = defaultdict(float)
+        # context -> result cache (reference: gr_serving/prefix_cache.py);
+        # SID generation is deterministic, so identical contexts replay
+        self._prefix_cache: "dict[bytes, dict]" = {}
+        self._prefix_cache_size = prefix_cache_size
 
     # ------------------------------------------------------------ api
     def submit(self, context: np.ndarray, top_k: int = 10) -> str:
@@ -72,8 +90,22 @@ class GRContinuousScheduler:
             submitted_at=time.time(),
             deadline_s=self.request_timeout_s,
         )
-        self.queue.append(req)
         self.metrics["submitted"] += 1
+        if self._prefix_cache_size:
+            key = req.context.tobytes()
+            hit = self._prefix_cache.get(key)
+            if hit is not None and len(hit["sids"]) >= req.top_k:
+                req.result = {
+                    "sids": hit["sids"][: req.top_k],
+                    "scores": hit["scores"][: req.top_k],
+                    "latency_ms": 0.0,
+                    "cached": True,
+                }
+                req.done = True
+                self.finished[req.request_id] = req
+                self.metrics["prefix_cache_hits"] += 1
+                return req.request_id
+        self.queue.append(req)
         return req.request_id
 
     def tick(self) -> int:
@@ -117,12 +149,20 @@ class GRContinuousScheduler:
         self.metrics["batches"] += 1
         self.metrics["decode_time_s"] += dt
         for i, r in enumerate(batch):
-            k = min(r.top_k, paths.shape[1])
+            p_i, s_i = self.beam_policy.filter_results(paths[i], scores[i])
+            k = min(r.top_k, len(s_i))
             r.result = {
-                "sids": paths[i, :k].tolist(),
-                "scores": scores[i, :k].tolist(),
+                "sids": p_i[:k].tolist(),
+                "scores": s_i[:k].tolist(),
                 "latency_ms": (time.time() - r.submitted_at) * 1e3,
             }
+            if self._prefix_cache_size:
+                if len(self._prefix_cache) >= self._prefix_cache_size:
+                    self._prefix_cache.pop(next(iter(self._prefix_cache)))
+                self._prefix_cache[r.context.tobytes()] = {
+                    "sids": r.result["sids"],
+                    "scores": r.result["scores"],
+                }
             r.done = True
             self.finished[r.request_id] = r
             self.metrics["completed"] += 1

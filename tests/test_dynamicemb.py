@@ -181,3 +181,45 @@ def test_table_jit_roundtrip():
     for i in range(3):
         state, emb = step(state, jnp.array([i, i + 1, 100], jnp.int64))
     assert int(table_size(state.table)) == 5  # {0,1,2,3,100}
+
+
+def test_get_set_score_and_fill():
+    tbl = DynamicEmbeddingTable(
+        DynamicEmbTableOptions(embedding_dim=4, max_capacity=64,
+                               bucket_capacity=8),
+        SparseOptimizerArgs(optimizer="sgd"),
+    )
+    st = tbl.init_state()
+    keys = jnp.arange(1, 9, dtype=jnp.int64)
+    vals = jnp.tile(keys[:, None].astype(jnp.float32), (1, 4))
+    st = tbl.fill(st, keys, vals, scores=keys * 100)
+    sc = tbl.get_score(st, keys)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(keys) * 100)
+    missing = tbl.get_score(st, jnp.asarray([999], jnp.int64))
+    assert int(missing[0]) == -1
+    st = tbl.set_score(st, keys[:2], jnp.asarray([7, 8], jnp.int64))
+    sc2 = tbl.get_score(st, keys[:2])
+    np.testing.assert_array_equal(np.asarray(sc2), [7, 8])
+
+
+def test_expand_preserves_entries():
+    tbl = DynamicEmbeddingTable(
+        DynamicEmbTableOptions(embedding_dim=4, max_capacity=64,
+                               bucket_capacity=8),
+        SparseOptimizerArgs(optimizer="rowwise_adagrad"),
+    )
+    st = tbl.init_state()
+    keys = jnp.arange(1, 33, dtype=jnp.int64)
+    vals = jnp.tile(keys[:, None].astype(jnp.float32), (1, 4))
+    st = tbl.fill(st, keys, vals, scores=keys)
+    tbl2, st2 = tbl.expand(st, factor=2)
+    assert tbl2.capacity == 128
+    from recsys_examples_tpu.dynamicemb.hashtable import lookup, table_size
+
+    assert int(table_size(st2.table)) == 32
+    slots, found = lookup(st2.table, keys)
+    assert bool(found.all())
+    emb = st2.table.values[np.asarray(slots)]
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(vals))
+    sc = tbl2.get_score(st2, keys)
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(keys))

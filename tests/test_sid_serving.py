@@ -78,3 +78,38 @@ def test_beam_policy():
     assert p.width_for(2) == 8
     assert p.width_for(9) == 8
     assert BeamPolicy(width=32).width_for(1) == 32
+
+
+def test_score_margin_policy_and_prefix_cache():
+    from recsys_examples_tpu.inference.sid_serving.scheduler import BeamPolicy
+    import numpy as np
+
+    pol = BeamPolicy(kind="score_margin", margin=1.0)
+    paths = np.arange(12).reshape(4, 3)
+    scores = np.asarray([-0.1, -0.5, -2.0, -9.0])
+    p, s = pol.filter_results(paths, scores)
+    assert len(s) == 2 and s.tolist() == [-0.1, -0.5]
+
+    # prefix cache: a repeated context is served without decoding
+    cfg = SIDGRConfig(
+        num_hierarchies=3, codebook_size=16, hidden_size=32, num_layers=1,
+        num_heads=2, head_dim=16, ffn_hidden=64, beam_width=4,
+    )
+    model = SIDGRModel(cfg)
+    batch = random_sid_batch(0, 2, 4, 3, 16)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )["params"]
+    scfg = ServingConfig(beam_width=4, ctx_buckets=(12,), batch_buckets=(1,))
+    eng = GRServingEngine(model, params, scfg)
+    sched = GRContinuousScheduler(eng, max_batch=1, prefix_cache_size=64)
+    ctx = np.asarray([1, 2, 3, 4] * 2, np.int32)
+    r1 = sched.submit(ctx, top_k=4)
+    sched.run_until_empty()
+    res1 = sched.get_result(r1)
+    assert res1 and "sids" in res1
+    r2 = sched.submit(ctx, top_k=4)
+    res2 = sched.get_result(r2)
+    assert res2 and res2.get("cached") is True
+    assert res2["sids"] == res1["sids"]
