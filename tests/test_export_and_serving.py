@@ -1,0 +1,131 @@
+"""AOT export roundtrip + HTTP ranking serving (reference test model:
+inference_aoti export/replay + triton python-backend client tests)."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from recsys_examples_tpu.dynamicemb.batched_table import DynamicEmbeddingTable
+from recsys_examples_tpu.dynamicemb.dynamicemb_config import (
+    DynamicEmbInitializerArgs,
+    DynamicEmbInitializerMode,
+    DynamicEmbTableOptions,
+)
+from recsys_examples_tpu.dynamicemb.exportable_tables import freeze_table
+from recsys_examples_tpu.dynamicemb.optimizer import SparseOptimizerArgs
+from recsys_examples_tpu.inference.inference_ranking_gr import (
+    InferenceDenseModule,
+    InferenceRankingGR,
+)
+from recsys_examples_tpu.inference.kvcache import KVCacheConfig
+from recsys_examples_tpu.modules.config import HSTUConfig, KernelBackend
+
+CFG = HSTUConfig(
+    hidden_size=16, num_layers=2, num_attention_heads=2, kv_channels=8,
+    hidden_dropout=0.0, kernel_backend=KernelBackend.JNP, dtype=jnp.float32,
+)
+KV_CFG = KVCacheConfig(
+    num_layers=2, num_heads=2, head_dim=8, page_size=4, num_pages=64,
+    max_users=8, max_pages_per_user=8, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def runner():
+    tbl = DynamicEmbeddingTable(
+        DynamicEmbTableOptions(
+            embedding_dim=16, max_capacity=256, bucket_capacity=16,
+            initializer_args=DynamicEmbInitializerArgs(
+                mode=DynamicEmbInitializerMode.NORMAL, std_dev=0.3
+            ),
+        ),
+        SparseOptimizerArgs(optimizer="sgd"),
+    )
+    st = tbl.init_state()
+    st, _, _ = tbl.forward_train(st, jnp.arange(1, 100, dtype=jnp.int64))
+    frozen = freeze_table(tbl, st)
+    mod = InferenceDenseModule(CFG, head_arch=(8, 1))
+    B, S = 2, 8
+    x = jnp.zeros((B, S, 16), jnp.float32)
+    ck = jnp.zeros((2, B, 0, 2, 8), jnp.float32)
+    params = mod.init(
+        jax.random.PRNGKey(0), x, ck, ck, jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), S, jnp.int32), None, 32,
+    )["params"]
+    r = InferenceRankingGR(
+        config=CFG, kv_config=KV_CFG, dense_params=params,
+        item_table=frozen, head_arch=(8, 1),
+    )
+    r.init_cache()
+    return r
+
+
+def test_export_roundtrip(runner, tmp_path):
+    from recsys_examples_tpu.inference.export import (
+        ExportedRankingDense,
+        export_ranking_dense,
+    )
+
+    B, S, NC = 2, 8, 16
+    export_ranking_dense(runner, B, S, NC, str(tmp_path))
+    loaded = ExportedRankingDense(str(tmp_path), runner.dense_params)
+
+    rng = jax.random.PRNGKey(1)
+    emb = jax.random.normal(rng, (B, S, 16), jnp.float32)
+    ck = jnp.zeros((2, B, NC, 2, 8), jnp.float32)
+    clen = jnp.zeros((B,), jnp.int32)
+    nl = jnp.full((B,), S, jnp.int32)
+    ncand = jnp.full((B,), 2, jnp.int32)
+    got_logits, _, _ = loaded(emb, ck, ck, clen, nl, ncand)
+    want_logits, _, _ = runner.module.apply(
+        {"params": runner.dense_params}, emb, ck, ck, clen, nl, ncand,
+        KV_CFG.max_cached_len,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(want_logits), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_ranking_server_batched(runner):
+    from recsys_examples_tpu.inference.hstu_serving import RankingServer
+
+    srv = RankingServer(runner, seq_buckets=(8, 16))
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(1, 99, size=(6,)).astype(np.int64),
+            rng.integers(1, 99, size=(9,)).astype(np.int64)]
+    out = srv.predict_batch([11, 22], seqs, [2, 3])
+    assert len(out) == 2
+    assert out[0].shape == (2,) and out[1].shape == (3,)
+    assert all(np.isfinite(o).all() for o in out)
+    assert srv.metrics["requests"] == 2
+
+
+def test_http_predict(runner):
+    aiohttp = pytest.importorskip("aiohttp")
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from recsys_examples_tpu.inference.hstu_serving import (
+        RankingServer,
+        create_app,
+    )
+
+    app = create_app(RankingServer(runner, seq_buckets=(8, 16)))
+
+    async def drive():
+        async with TestClient(TestServer(app)) as client:
+            r = await client.get("/health")
+            assert r.status == 200
+            r = await client.post("/predict", json={
+                "user_id": 7, "item_ids": [1, 2, 3, 4, 5, 6],
+                "num_candidates": 2,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert len(body["scores"]) == 2
+            r = await client.get("/metrics")
+            assert (await r.json())["requests"] == 1
+
+    asyncio.run(drive())
