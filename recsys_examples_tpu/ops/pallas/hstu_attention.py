@@ -604,6 +604,21 @@ class _Layout:
         ])
 
 
+def _pad_head_dim(x, T, H, D, Dp):
+    """[T, H, D] -> [T, H*Dp] with zero-padded per-head columns (Mosaic
+    lane slices must be 128-aligned; zero K/Q columns add zero scores and
+    padded V columns are sliced away)."""
+    if Dp == D:
+        return x.reshape(T, H * D)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, Dp - D))).reshape(T, H * Dp)
+
+
+def _unpad_head_dim(x2d, T, H, D, Dp):
+    if Dp == D:
+        return x2d.reshape(T, H, D)
+    return x2d.reshape(T, H, Dp)[:, :, :D]
+
+
 def _pad_rab(rab, B, H, NQP, NKP):
     """Pad dense rab [B|1, H|1, N, N] to the kernel's tiled extents and
     broadcast singleton batch/head dims."""
@@ -623,8 +638,10 @@ def _hstu_fwd_impl(
     block_q, block_k, interpret,
 ):
     seq_offsets, num_contextuals, num_targets = aux
-    T, H, D = q.shape
-    V = v.shape[2]
+    T, H, D0 = q.shape
+    V0 = v.shape[2]
+    D = -(-D0 // 128) * 128
+    V = -(-V0 // 128) * 128
     B = seq_offsets.shape[0] - 1
     if scaling_seqlen == -1:
         scaling_seqlen = max_seqlen
@@ -633,9 +650,9 @@ def _hstu_fwd_impl(
     NK = pl.cdiv(max_seqlen, BK)
     lay = _Layout(seq_offsets, T, max(BQ, BK))
     meta = lay.meta(num_contextuals, num_targets)
-    qa = lay.to_aligned(q.reshape(T, H * D))
-    ka = lay.to_aligned(k.reshape(T, H * D))
-    va = lay.to_aligned(v.reshape(T, H * V))
+    qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
+    ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
+    va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
     has_rab = rab is not None
 
     kernel = functools.partial(
@@ -690,7 +707,7 @@ def _hstu_fwd_impl(
         ),
         interpret=interpret,
     )(*ins)
-    return lay.to_packed(out).reshape(T, H, V)
+    return _unpad_head_dim(lay.to_packed(out), T, H, V0, V)
 
 
 def _hstu_bwd_impl(
@@ -699,18 +716,20 @@ def _hstu_bwd_impl(
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
 ):
     seq_offsets, num_contextuals, num_targets = aux
-    T, H, D = q.shape
-    V = v.shape[2]
+    T, H, D0 = q.shape
+    V0 = v.shape[2]
+    D = -(-D0 // 128) * 128
+    V = -(-V0 // 128) * 128
     B = seq_offsets.shape[0] - 1
     if scaling_seqlen == -1:
         scaling_seqlen = max_seqlen
     BQ, BK = block_q, block_k
     lay = _Layout(seq_offsets, T, max(BQ, BK))
     meta = lay.meta(num_contextuals, num_targets)
-    qa = lay.to_aligned(q.reshape(T, H * D))
-    ka = lay.to_aligned(k.reshape(T, H * D))
-    va = lay.to_aligned(v.reshape(T, H * V))
-    ga = lay.to_aligned(g.astype(v.dtype).reshape(T, H * V))
+    qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
+    ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
+    va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
+    ga = lay.to_aligned(_pad_head_dim(g.astype(v.dtype), T, H, V0, V))
     has_rab = rab is not None
     NQ = pl.cdiv(max_seqlen, BQ)
     NK = pl.cdiv(max_seqlen, BK)
@@ -801,7 +820,7 @@ def _hstu_bwd_impl(
         drab = drab.astype(rab.dtype)
     else:
         dq, drab = res, None
-    dq = lay.to_packed(dq).reshape(T, H, D)
+    dq = _unpad_head_dim(lay.to_packed(dq), T, H, D0, D)
 
     # ---- dk/dv
     dkv_kernel = functools.partial(
@@ -855,8 +874,8 @@ def _hstu_bwd_impl(
         ),
         interpret=interpret,
     )(*ins)
-    dk = lay.to_packed(dk).reshape(T, H, D)
-    dv = lay.to_packed(dv).reshape(T, H, V)
+    dk = _unpad_head_dim(lay.to_packed(dk), T, H, D0, D)
+    dv = _unpad_head_dim(lay.to_packed(dv), T, H, V0, V)
     return dq, dk, dv, drab
 
 
