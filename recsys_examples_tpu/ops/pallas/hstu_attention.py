@@ -635,7 +635,7 @@ def _pad_rab(rab, B, H, NQP, NKP):
 def _hstu_fwd_impl(
     q, k, v, rab, aux, max_seqlen, alpha, scaling_seqlen, causal,
     target_group_size, max_attn_len, min_full_attn_seq_len,
-    block_q, block_k, interpret,
+    block_q, block_k, interpret, return_aligned=False,
 ):
     seq_offsets, num_contextuals, num_targets = aux
     T, H, D0 = q.shape
@@ -707,13 +707,19 @@ def _hstu_fwd_impl(
         ),
         interpret=interpret,
     )(*ins)
-    return _unpad_head_dim(lay.to_packed(out), T, H, V0, V)
+    res = _unpad_head_dim(lay.to_packed(out), T, H, V0, V)
+    if return_aligned:
+        # hand the aligned q/k/v buffers to the custom_vjp so the backward
+        # pass skips re-gathering them into the block-aligned layout
+        return res, (qa, ka, va)
+    return res
 
 
 def _hstu_bwd_impl(
     q, k, v, rab, aux, g,
     max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+    aligned=None,
 ):
     seq_offsets, num_contextuals, num_targets = aux
     T, H, D0 = q.shape
@@ -726,9 +732,12 @@ def _hstu_bwd_impl(
     BQ, BK = block_q, block_k
     lay = _Layout(seq_offsets, T, max(BQ, BK))
     meta = lay.meta(num_contextuals, num_targets)
-    qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
-    ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
-    va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
+    if aligned is not None:
+        qa, ka, va = aligned
+    else:
+        qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
+        ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
+        va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
     ga = lay.to_aligned(_pad_head_dim(g.astype(v.dtype), T, H, V0, V))
     has_rab = rab is not None
     NQ = pl.cdiv(max_seqlen, BQ)
@@ -909,12 +918,12 @@ def _vjp_fwd(
     max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
 ):
-    out = _hstu_fwd_impl(
+    out, aligned = _hstu_fwd_impl(
         q, k, v, None, aux, max_seqlen, alpha, scaling_seqlen, causal,
         target_group_size, max_attn_len, min_full_attn_seq_len,
-        block_q, block_k, interpret,
+        block_q, block_k, interpret, return_aligned=True,
     )
-    return out, (q, k, v, aux)
+    return out, (q, k, v, aux, aligned)
 
 
 def _vjp_bwd(
@@ -922,11 +931,12 @@ def _vjp_bwd(
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
     residuals, g,
 ):
-    q, k, v, aux = residuals
+    q, k, v, aux, aligned = residuals
     dq, dk, dv, _ = _hstu_bwd_impl(
         q, k, v, None, aux, g,
         max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
         max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+        aligned=aligned,
     )
     return dq, dk, dv, None
 
@@ -968,12 +978,12 @@ def _vjp_rab_fwd(
     max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
 ):
-    out = _hstu_fwd_impl(
+    out, aligned = _hstu_fwd_impl(
         q, k, v, rab, aux, max_seqlen, alpha, scaling_seqlen, causal,
         target_group_size, max_attn_len, min_full_attn_seq_len,
-        block_q, block_k, interpret,
+        block_q, block_k, interpret, return_aligned=True,
     )
-    return out, (q, k, v, rab, aux)
+    return out, (q, k, v, rab, aux, aligned)
 
 
 def _vjp_rab_bwd(
@@ -981,11 +991,12 @@ def _vjp_rab_bwd(
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
     residuals, g,
 ):
-    q, k, v, rab, aux = residuals
+    q, k, v, rab, aux, aligned = residuals
     dq, dk, dv, drab = _hstu_bwd_impl(
         q, k, v, rab, aux, g,
         max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
         max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+        aligned=aligned,
     )
     return dq, dk, dv, drab, None
 
