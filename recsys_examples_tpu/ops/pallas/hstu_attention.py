@@ -138,6 +138,7 @@ def _fwd_kernel(
     *, B, H, D, V, BQ, BK, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
+    quantized=False, v_scale=1.0,
 ):
     b = pl.program_id(0)
     alpha = jnp.float32(alpha)
@@ -210,12 +211,23 @@ def _fwd_kernel(
             )
             kf = k_buf[slot]
             vf = v_buf[slot]
+            qq = qf
+            if quantized:
+                # int8 path (reference: HSTU-3 FP8 quantization modes):
+                # tensors travel HBM->VMEM as int8 (half the DMA traffic of
+                # bf16 — attention here is DMA-bound) and dequantize on the
+                # VPU; scales fold into alpha (scores) and v_scale (output).
+                # This Mosaic build rejects direct i8 x i8 MXU matmuls, so
+                # the MACs run bf16.
+                qq = qf.astype(jnp.bfloat16)
+                kf = kf.astype(jnp.bfloat16)
+                vf = vf.astype(jnp.bfloat16)
             for h in range(H):
                 sc = jax.lax.dot_general(
-                    qf[:, h * D:(h + 1) * D], kf[:, h * D:(h + 1) * D],
+                    qq[:, h * D:(h + 1) * D], kf[:, h * D:(h + 1) * D],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * alpha
+                ).astype(jnp.float32) * alpha
                 if has_rab:
                     sc = sc + rab_tile[h]
                 p = _silu_f32(sc) * inv_scaling * mask
@@ -231,7 +243,10 @@ def _fwd_kernel(
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
-        o_buf[:] = acc_ref[:].astype(o_buf.dtype)
+        if quantized:
+            o_buf[:] = (acc_ref[:] * jnp.float32(v_scale)).astype(o_buf.dtype)
+        else:
+            o_buf[:] = acc_ref[:].astype(o_buf.dtype)
         o_dma = pltpu.make_async_copy(o_buf, o_hbm.at[pl.ds(s, BQ)], sem.at[jnp.int32(5)])
         o_dma.start()
         o_dma.wait()
@@ -636,6 +651,7 @@ def _hstu_fwd_impl(
     q, k, v, rab, aux, max_seqlen, alpha, scaling_seqlen, causal,
     target_group_size, max_attn_len, min_full_attn_seq_len,
     block_q, block_k, interpret, return_aligned=False,
+    quantized=False, v_scale=1.0, out_dtype=None,
 ):
     seq_offsets, num_contextuals, num_targets = aux
     T, H, D0 = q.shape
@@ -658,6 +674,7 @@ def _hstu_fwd_impl(
     kernel = functools.partial(
         _fwd_kernel,
         B=B, H=H, D=D, V=V, BQ=BQ, BK=BK, has_rab=has_rab,
+        quantized=quantized, v_scale=v_scale,
         alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
         causal=causal,
         has_context=num_contextuals is not None,
@@ -688,7 +705,9 @@ def _hstu_fwd_impl(
 
         n_in = 3
     scratch += [
-        pltpu.VMEM((BQ, H * V), v.dtype),
+        pltpu.VMEM(
+            (BQ, H * V), out_dtype if out_dtype is not None else v.dtype
+        ),
         pltpu.VMEM((BQ, H * V), jnp.float32),
         pltpu.SemaphoreType.DMA((7,)),
     ]
@@ -701,7 +720,9 @@ def _hstu_fwd_impl(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (lay.T_al, H * V), out_dtype if out_dtype is not None else v.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -1002,3 +1023,61 @@ def _vjp_rab_bwd(
 
 
 hstu_attn_varlen_rab.defvjp(_vjp_rab_fwd, _vjp_rab_bwd)
+
+
+def hstu_attn_varlen_quantized_calibrated(
+    q_int8: jax.Array,
+    k_int8: jax.Array,
+    v_int8: jax.Array,
+    q_scale: float,
+    k_scale: float,
+    v_scale: float,
+    aux,
+    max_seqlen: int = 0,
+    alpha: float = 1.0,
+    scaling_seqlen: int = -1,
+    causal: bool = True,
+    target_group_size: int = 1,
+    max_attn_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+    block_q: int = DEF_BLOCK_Q,
+    block_k: int = DEF_BLOCK_K,
+    interpret: bool = False,
+):
+    """Int8-quantized HSTU attention forward (inference).
+
+    TPU counterpart of the reference's FP8 quantized HSTU-3 attention
+    (per-tensor mode of the `quantization_mode` argument,
+    corelib/hstu/hstu_attn/hstu_attn_interface.py:185). v5e's MXU native
+    low-precision type is int8: inputs arrive symmetrically quantized with
+    static calibration scales (the production serving pattern), the qk
+    matmul contracts dequantized tiles, q/k scales fold into alpha and the
+    v scale into the output epilogue. Forward only, like the reference's
+    FP8 path. Returns bf16 [T, H, V].
+
+    Status: verified in interpret mode; the current axon remote-compile
+    Mosaic build rejects matmuls whose operands are casts of int8 loads
+    ("Bad lhs type"), so on-chip use needs a newer toolchain. The win on
+    this DMA-bound kernel is the halved K/V HBM traffic, independent of
+    the MAC precision.
+    """
+    return _hstu_fwd_impl(
+        q_int8, k_int8, v_int8, None, aux, max_seqlen,
+        float(alpha) * float(q_scale) * float(k_scale),
+        scaling_seqlen, causal,
+        target_group_size, max_attn_len, min_full_attn_seq_len,
+        block_q, block_k, interpret, quantized=True,
+        v_scale=float(v_scale), out_dtype=jnp.bfloat16,
+    )
+
+
+def quantize_per_tensor(x: jax.Array):
+    """Symmetric int8 per-tensor quantization helper. Returns
+    (values int8, scale float)."""
+    import numpy as np
+
+    s_ = max(float(jnp.max(jnp.abs(x))), 1e-12) / 127.0
+    xi = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / s_)), -127, 127
+    ).astype(jnp.int8)
+    return xi, s_

@@ -181,3 +181,31 @@ def test_rab_broadcast_batch_head():
     np.testing.assert_allclose(
         np.asarray(gk), np.asarray(gr), rtol=3e-4, atol=3e-4
     )
+
+
+def test_quantized_int8_forward_close_to_fp():
+    """Int8 per-tensor quantized forward vs fp reference (reference: FP8
+    quantization modes of hstu_attn_varlen_func — per-tensor analogue)."""
+    from recsys_examples_tpu.ops.pallas.hstu_attention import (
+        hstu_attn_varlen_quantized_calibrated,
+        quantize_per_tensor,
+    )
+
+    N, H, D, T = 256, 2, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    offs = jnp.asarray([0, 200, 456], jnp.int32)
+    q = jax.random.normal(ks[0], (T, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (T, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (T, H, D), jnp.float32)
+    aux = (offs, None, None)
+    qi, sq = quantize_per_tensor(q)
+    ki_, sk = quantize_per_tensor(k)
+    vi, sv = quantize_per_tensor(v)
+    got = hstu_attn_varlen_quantized_calibrated(
+        qi, ki_, vi, sq, sk, sv, aux, max_seqlen=N, alpha=0.08,
+        causal=True, interpret=True,
+    )
+    want = hstu_mha_reference(N, 0.08, q, k, v, offs, causal=True)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    denom = np.abs(np.asarray(want, np.float32)).mean() + 1e-6
+    assert err.mean() / denom < 0.05, (err.mean(), denom)
