@@ -267,3 +267,66 @@ class ShardedDynamicEmbedding:
 
 def _ndim_ge1(x) -> bool:
     return hasattr(x, "ndim") and x.ndim >= 1
+
+
+class GroupedShardedDynamicEmbedding:
+    """Several sparse features served by ONE fused table pass.
+
+    Counterpart of the reference's table grouping
+    (`BatchedDynamicEmbeddingTablesV2` groups same-dim tables so dedup,
+    lookup, insert and the id all-to-all each run once per step;
+    segmented_unique's (table_id, key) compound contract,
+    corelib/dynamicemb/src/unique_op.h:27). Keys are made table-unique by
+    packing the feature index into the top bits of the int64 key space
+    (keys must stay below 2^58).
+    """
+
+    _TID_SHIFT = 58
+
+    def __init__(
+        self,
+        table: DynamicEmbeddingTable,
+        feature_names: Tuple[str, ...],
+        mesh: Optional[Mesh] = None,
+        axis: str = DATA_AXIS,
+        bucket_factor: float = 2.0,
+    ):
+        assert len(feature_names) < (1 << 5), "too many grouped features"
+        self.feature_names = tuple(feature_names)
+        self.inner = ShardedDynamicEmbedding(
+            table, mesh=mesh, axis=axis, bucket_factor=bucket_factor
+        )
+        self.table = table
+        self.mesh = mesh
+
+    def init_state(self) -> DynamicEmbTableState:
+        return self.inner.init_state()
+
+    def _compose(self, ids: jax.Array, tid: int) -> jax.Array:
+        active = ids != EMPTY_KEY
+        tagged = ids + (jnp.int64(tid) << self._TID_SHIFT)
+        return jnp.where(active, tagged, EMPTY_KEY)
+
+    def forward(self, state, ids_by_feature, train: bool = True):
+        """ids_by_feature: {name: [T_f] int64}. Returns
+        (state, {name: [T_f, dim]}, residual)."""
+        parts = []
+        sizes = []
+        for i, name in enumerate(self.feature_names):
+            ids = ids_by_feature[name]
+            parts.append(self._compose(ids, i))
+            sizes.append(ids.shape[0])
+        all_ids = jnp.concatenate(parts)
+        state, emb, res = self.inner.forward(state, all_ids, train=train)
+        out = {}
+        off = 0
+        for name, sz in zip(self.feature_names, sizes):
+            out[name] = emb[off:off + sz]
+            off += sz
+        return state, out, res
+
+    def backward(self, state, res, grads_by_feature):
+        g = jnp.concatenate(
+            [grads_by_feature[n] for n in self.feature_names]
+        )
+        return self.inner.backward(state, res, g)

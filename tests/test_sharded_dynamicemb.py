@@ -87,3 +87,44 @@ def test_sharded_jit_train_step():
     for _ in range(2):
         state, s = step(state, ids)
     assert np.isfinite(float(s))
+
+
+def test_grouped_features_single_pass():
+    """Grouped multi-feature lookup: per-feature key spaces are isolated
+    and gradients route back per feature (reference: table grouping of
+    BatchedDynamicEmbeddingTablesV2)."""
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        GroupedShardedDynamicEmbedding,
+    )
+
+    table = DynamicEmbeddingTable(
+        DynamicEmbTableOptions(embedding_dim=8, max_capacity=512,
+                               bucket_capacity=16),
+        SparseOptimizerArgs(optimizer="sgd", learning_rate=1.0),
+    )
+    grp = GroupedShardedDynamicEmbedding(
+        table, ("item", "user"), mesh=None
+    )
+    st = grp.init_state()
+    ids = {
+        "item": jnp.asarray([5, 6, 5, 7], jnp.int64),
+        "user": jnp.asarray([5, 9], jnp.int64),  # same raw id 5, other space
+    }
+    st, emb, res = grp.forward(st, ids)
+    assert emb["item"].shape == (4, 8) and emb["user"].shape == (2, 8)
+    # same raw key in different features -> independent rows
+    assert not np.allclose(np.asarray(emb["item"][0]),
+                           np.asarray(emb["user"][0]))
+    # dup ids within a feature share a row
+    np.testing.assert_allclose(np.asarray(emb["item"][0]),
+                               np.asarray(emb["item"][2]))
+    grads = {
+        "item": jnp.ones((4, 8), jnp.float32),
+        "user": jnp.zeros((2, 8), jnp.float32),
+    }
+    st2 = grp.backward(st, res, grads)
+    st3, emb2, _ = grp.forward(st2, ids)
+    # item rows moved by sgd, user rows unchanged
+    assert not np.allclose(np.asarray(emb2["item"]), np.asarray(emb["item"]))
+    np.testing.assert_allclose(np.asarray(emb2["user"]),
+                               np.asarray(emb["user"]), atol=1e-6)
