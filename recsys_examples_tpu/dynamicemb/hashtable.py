@@ -117,7 +117,8 @@ def _bucket_rank(b, want, num_buckets):
     sorted_b = bm[order]
     run_start = jnp.searchsorted(sorted_b, sorted_b, side="left")
     pos_sorted = jnp.arange(n, dtype=jnp.int32) - run_start.astype(jnp.int32)
-    return jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+    # inverse permutation via argsort — 1D element scatters serialize on TPU
+    return pos_sorted[jnp.argsort(order)]
 
 
 def _choose_slot(bucket_keys, bucket_scores, key, rank):
@@ -210,7 +211,7 @@ def insert_and_evict(
             [jnp.ones((1,), bool), tgt_sorted[1:] != tgt_sorted[:-1]]
         )
         win_sorted = first & (tgt_sorted < NB * C)
-        win = jnp.zeros((n,), bool).at[order].set(win_sorted)
+        win = win_sorted[jnp.argsort(order)]  # inverse perm, no scatter
 
         # scatter ONLY from winners: losers' rows are pushed out of
         # bounds and dropped — a masked .set() with duplicate indices is

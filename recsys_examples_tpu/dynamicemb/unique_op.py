@@ -8,7 +8,9 @@ optional frequency counts.
 
 TPU design: a single sort over the composite (table_id, key) is
 MXU/VPU-friendly and deterministic; all outputs are fixed-capacity with an
-EMPTY_KEY sentinel in unused slots (XLA static shapes).
+EMPTY_KEY sentinel in unused slots (XLA static shapes). Everything after
+the sort is gathers + vectorized binary searches — element scatters
+serialize on the TPU scalar core (~70ns/element), so none are used.
 """
 from __future__ import annotations
 
@@ -50,31 +52,31 @@ def segmented_unique(
     prev_t = jnp.concatenate([st[:1] - 1, st[:-1]])
     first = (sk != prev_k) | (st != prev_t)
     uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-    # padding group (if any) must not count as unique
+    # num_unique = max uid among non-pad + 1
     pad_sorted = st == num_tables
-    num_unique = jnp.where(
-        jnp.any(~pad_sorted),
-        uid_sorted[jnp.argmax(jnp.cumsum((~pad_sorted).astype(jnp.int32)) - 1)]
-        + 1,
-        0,
-    )
-    # simpler: num_unique = max uid among non-pad + 1
     num_unique = jnp.where(
         jnp.any(~pad_sorted),
         jnp.max(jnp.where(pad_sorted, -1, uid_sorted)) + 1,
         0,
     )
-    unique_keys = jnp.full((n,), EMPTY_KEY, keys.dtype)
-    unique_keys = unique_keys.at[uid_sorted].set(
-        jnp.where(pad_sorted, EMPTY_KEY, sk)
-    )
-    unique_tids = jnp.zeros((n,), jnp.int32).at[uid_sorted].set(
-        jnp.where(pad_sorted, 0, st)
-    )
-    reverse = jnp.zeros((n,), jnp.int32).at[order].set(uid_sorted.astype(jnp.int32))
+    # uid_sorted is non-decreasing: the entry for unique id u starts at
+    # searchsorted(uid_sorted, u) — gathers instead of (serialized) scatters
+    u_range = jnp.arange(n, dtype=jnp.int32)
+    first_pos = jnp.searchsorted(uid_sorted, u_range, side="left")
+    fp = jnp.clip(first_pos, 0, n - 1)
+    group_valid = u_range <= jnp.max(uid_sorted)  # any group incl. padding
+    key_valid = u_range < num_unique
+    unique_keys = jnp.where(key_valid, sk[fp], EMPTY_KEY)
+    unique_tids = jnp.where(key_valid, st[fp], 0)
+    # reverse permutation of `order` without a scatter
+    inv_order = jnp.argsort(order)
+    reverse = uid_sorted[inv_order].astype(jnp.int32)
     if return_counts:
-        counts = jnp.zeros((n,), jnp.int32).at[uid_sorted].add(
-            jnp.where(pad_sorted, 0, 1)
+        next_pos = jnp.searchsorted(uid_sorted, u_range, side="right")
+        counts = jnp.where(
+            key_valid & group_valid,
+            (next_pos - first_pos).astype(jnp.int32),
+            0,
         )
         return unique_keys, reverse, unique_tids, num_unique, counts
     return unique_keys, reverse, unique_tids, num_unique
@@ -83,14 +85,13 @@ def segmented_unique(
 def table_offsets_from_unique(
     unique_tids: jax.Array, num_unique: jax.Array, num_tables: int
 ) -> jax.Array:
-    """[num_tables+1] offsets of each table's unique-key group."""
+    """[num_tables+1] offsets of each table's unique-key group.
+
+    unique_tids[:num_unique] is sorted by table id (the sort is over
+    (table_id, key)), so offsets come from a vectorized binary search."""
     n = unique_tids.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    valid = pos < num_unique
-    # count per table
-    counts = jnp.zeros((num_tables,), jnp.int32).at[
-        jnp.where(valid, unique_tids, 0)
-    ].add(valid.astype(jnp.int32))
-    return jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
-    )
+    ut = jnp.where(pos < num_unique, unique_tids, num_tables)
+    return jnp.searchsorted(
+        ut, jnp.arange(num_tables + 1, dtype=unique_tids.dtype), side="left"
+    ).astype(jnp.int32)
