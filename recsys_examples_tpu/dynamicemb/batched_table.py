@@ -117,12 +117,13 @@ class DynamicEmbeddingTable:
         else:
             scores = self._scores(state, u)
 
-        slots0, found = lookup(state.table, unique_keys)
-
         # admission: bump counters for missed keys; admit if freq >= thresh
+        # (the pre-lookup is only needed on this path — insert_and_evict
+        # resolves hits itself)
         counter = state.counter
         insert_keys = unique_keys
         if counter is not None:
+            slots0, found = lookup(state.table, unique_keys)
             freq = (
                 frequencies.astype(jnp.int64)
                 if frequencies is not None

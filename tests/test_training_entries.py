@@ -1,0 +1,58 @@
+"""End-to-end smoke of the gin-driven training entry points on the CPU
+mesh (reference test model: the examples' CI train scripts)."""
+import numpy as np
+import pytest
+
+
+def test_pretrain_gr_ranking_smoke(tmp_path):
+    from recsys_examples_tpu.training import pretrain_gr_ranking
+    from recsys_examples_tpu.utils import gin_config
+
+    gin_config.clear_config()
+    cfg = tmp_path / "smoke.gin"
+    cfg.write_text(
+        "\n".join([
+            'TrainerArgs.max_train_iters = 3',
+            'TrainerArgs.log_interval = 1',
+            'DatasetArgs.dataset_name = "random"',
+            'DatasetArgs.batch_size = 2',
+            'DatasetArgs.max_history_len = 16',
+            'DatasetArgs.max_num_candidates = 2',
+            'DatasetArgs.item_vocab_size = 1000',
+            'NetworkArgs.hidden_size = 32',
+            'NetworkArgs.num_layers = 1',
+            'NetworkArgs.num_attention_heads = 2',
+            'NetworkArgs.kv_channels = 16',
+            'NetworkArgs.kernel_backend = "jnp"',
+            'NetworkArgs.dtype = "float32"',
+            'NetworkArgs.hidden_dropout = 0.0',
+            'DynamicEmbeddingArgs.capacity = 1024',
+            'RankingArgs.prediction_head_arch = [8, 1]',
+        ])
+    )
+    pretrain_gr_ranking.main(["--gin-config-file", str(cfg)])
+
+
+def test_pretrain_sid_gr_smoke(tmp_path):
+    from recsys_examples_tpu.training import pretrain_sid_gr
+    from recsys_examples_tpu.utils import gin_config
+
+    gin_config.clear_config()
+    cfg = tmp_path / "sid.gin"
+    cfg.write_text(
+        "\n".join([
+            'SIDTrainerArgs.max_train_iters = 3',
+            'SIDTrainerArgs.log_interval = 1',
+            'SIDTrainerArgs.batch_size = 2',
+            'SIDTrainerArgs.max_history_items = 8',
+            'SIDNetworkArgs.num_hierarchies = 3',
+            'SIDNetworkArgs.codebook_size = 32',
+            'SIDNetworkArgs.hidden_size = 32',
+            'SIDNetworkArgs.num_layers = 1',
+            'SIDNetworkArgs.num_heads = 2',
+            'SIDNetworkArgs.head_dim = 16',
+            'SIDNetworkArgs.ffn_hidden = 64',
+            'SIDNetworkArgs.beam_width = 4',
+        ])
+    )
+    pretrain_sid_gr.main(["--gin-config-file", str(cfg)])
