@@ -74,6 +74,7 @@ class RetrievalGR(nn.Module):
         loss = loss_sum / jnp.maximum(count, 1.0)
         return loss, {
             "query_emb": q,
+            "target_emb": target_emb,
             "target_ids": target_ids,
             "valid": valid,
             "loss": loss,

@@ -56,3 +56,30 @@ def test_pretrain_sid_gr_smoke(tmp_path):
         ])
     )
     pretrain_sid_gr.main(["--gin-config-file", str(cfg)])
+
+
+def test_pretrain_gr_retrieval_smoke(tmp_path):
+    from recsys_examples_tpu.training import pretrain_gr_retrieval
+    from recsys_examples_tpu.utils import gin_config
+
+    gin_config.clear_config()
+    cfg = tmp_path / "ret.gin"
+    cfg.write_text(
+        "\n".join([
+            'TrainerArgs.max_train_iters = 3',
+            'TrainerArgs.log_interval = 1',
+            'DatasetArgs.dataset_name = "random"',
+            'DatasetArgs.batch_size = 2',
+            'DatasetArgs.max_history_len = 16',
+            'DatasetArgs.item_vocab_size = 500',
+            'NetworkArgs.hidden_size = 32',
+            'NetworkArgs.num_layers = 1',
+            'NetworkArgs.num_attention_heads = 2',
+            'NetworkArgs.kv_channels = 16',
+            'NetworkArgs.kernel_backend = "jnp"',
+            'NetworkArgs.dtype = "float32"',
+            'NetworkArgs.hidden_dropout = 0.0',
+            'DynamicEmbeddingArgs.capacity = 1024',
+        ])
+    )
+    pretrain_gr_retrieval.main(["--gin-config-file", str(cfg)])
