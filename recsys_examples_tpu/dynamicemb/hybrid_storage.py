@@ -81,6 +81,12 @@ class HybridDynamicEmbedding:
     def __init__(self, table: DynamicEmbeddingTable):
         self.table = table
         self.host = HostStorage(table.value_dim)
+        # cache-stats probes (reference: commons/utils/dynamicemb_cache_stats
+        # auto_install hit-rate tracking)
+        self.stats = {
+            "lookups": 0, "device_hits": 0, "host_onboards": 0,
+            "evict_flushes": 0,
+        }
 
     def init_state(self) -> DynamicEmbTableState:
         return self.table.init_state()
@@ -97,6 +103,8 @@ class HybridDynamicEmbedding:
         dk = jnp.asarray(ukeys)
         _, found = lookup(state.table, dk)
         found = np.asarray(found)
+        self.stats["lookups"] += len(ukeys)
+        self.stats["device_hits"] += int(found.sum())
         missing = ukeys[~found]
         if len(missing) == 0:
             return state
@@ -105,6 +113,7 @@ class HybridDynamicEmbedding:
         if len(bring) == 0:
             return state
         vals = host_vals[host_found]
+        self.stats["host_onboards"] += len(bring)
         dim = self.table.dim
         # snapshot victims: keys currently in the target buckets may be
         # evicted — capture the full table pre-insert to flush them after
@@ -141,6 +150,7 @@ class HybridDynamicEmbedding:
             self.host.put_batch(
                 vkeys[live], vvals[live], vscores[live]
             )
+            self.stats["evict_flushes"] += int(live.sum())
         # drop the keys now living on-device from host
         self.host._store.erase(np.asarray(bring, np.int64))
         return state.replace(table=tstate)
@@ -157,3 +167,8 @@ class HybridDynamicEmbedding:
             if o is not None:
                 v = np.concatenate([v, np.asarray(o)], axis=1)
             self.host.put_batch(k[valid], v[valid], s[valid])
+
+    def hit_rate(self) -> float:
+        """Device-tier hit rate since start (reference cache-stats probe)."""
+        lk = self.stats["lookups"]
+        return self.stats["device_hits"] / lk if lk else 1.0
