@@ -177,10 +177,28 @@ def insert_and_evict(
     NB = state.num_buckets
     b = hash_keys(keys, state.num_buckets)
     active = keys != EMPTY_KEY
-    slots_out = jnp.full((n,), -1, jnp.int32)
+
+    # Hits are resolved up front (keys are pre-deduped, so hit cells are
+    # unique): their scores refresh with one scatter and they never enter
+    # the round loop. When every key is already present — warm steady
+    # state, checkpoint re-fill, repeated inference batches — the while
+    # loop below runs ZERO rounds.
+    bucket_keys0 = state.keys[b]
+    match0 = (bucket_keys0 == keys[:, None]) & active[:, None]
+    found0 = jnp.any(match0, axis=1)
+    slot_in0 = jnp.argmax(match0, axis=1).astype(jnp.int32)
+    old_scores0 = jnp.take_along_axis(
+        state.scores[b], slot_in0[:, None], axis=1
+    )[:, 0]
+    row0 = jnp.where(found0, b.astype(jnp.int32), NB)
+    init_scores = state.scores.at[row0, slot_in0].set(
+        jnp.maximum(old_scores0, scores), mode="drop"
+    )
+    slots_out = jnp.where(
+        found0, b.astype(jnp.int32) * C + slot_in0, jnp.int32(-1)
+    )
     evicted_any = jnp.zeros((n,), bool)
-    found_any = jnp.zeros((n,), bool)
-    idx = jnp.arange(n, dtype=jnp.int32)
+    found_any = found0
 
     # The round loop touches ONLY keys/scores (the value rows are written
     # once afterwards from the resolved slots — a lax.while_loop
@@ -248,8 +266,8 @@ def insert_and_evict(
     _, carry = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0),
-         (state.keys, state.scores, active, slots_out, evicted_any,
-          found_any)),
+         (state.keys, init_scores, active & ~found0, slots_out,
+          evicted_any, found_any)),
     )
     tkeys, tscores, pending, slots_out, evicted_any, found_any = carry
 
