@@ -135,15 +135,16 @@ def _fwd_kernel(
     o_hbm,
     q_buf, k_buf, v_buf, rab_buf, o_buf, acc_ref,
     sem,
-    *, B, H, D, V, BQ, BK, has_rab,
+    *, B, H, D, V, BQ, BK, MAXT, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
     quantized=False, v_scale=1.0,
 ):
-    b = pl.program_id(0)
+    i = pl.program_id(0)
     alpha = jnp.float32(alpha)
     inv_scaling = jnp.float32(inv_scaling)
-    qi = pl.program_id(1)
+    b = meta_ref[4 * B + i]
+    qi = meta_ref[4 * B + MAXT + i]
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
     q_lo = qi * jnp.int32(BQ)
 
@@ -258,14 +259,15 @@ def _bwd_dq_kernel(
     dq_hbm, drab_hbm,
     q_buf, do_buf, k_buf, v_buf, rab_buf, drab_buf, dq_buf, acc_ref,
     sem,
-    *, B, H, D, V, BQ, BK, NK, has_rab,
+    *, B, H, D, V, BQ, BK, NK, MAXT, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
-    b = pl.program_id(0)
+    i = pl.program_id(0)
     alpha = jnp.float32(alpha)
     inv_scaling = jnp.float32(inv_scaling)
-    qi = pl.program_id(1)
+    b = meta_ref[4 * B + i]
+    qi = meta_ref[4 * B + MAXT + i]
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
     q_lo = qi * jnp.int32(BQ)
 
@@ -395,26 +397,6 @@ def _bwd_dq_kernel(
         d.start()
         d.wait()
 
-    if has_rab:
-        # q strips entirely beyond n still own drab rows: zero them
-        @pl.when(q_lo >= n)
-        def _zero_strip():
-            drab_buf[:] = jnp.zeros_like(drab_buf)
-
-            def zbody(kj, _):
-                w = pltpu.make_async_copy(
-                    drab_buf,
-                    drab_hbm.at[b, :, pl.ds(pl.multiple_of(q_lo, BQ), BQ),
-                                pl.ds(pl.multiple_of(kj * jnp.int32(BK), BK),
-                                      BK)],
-                    sem.at[jnp.int32(7)],
-                )
-                w.start()
-                w.wait()
-                return jnp.int32(0)
-
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(NK), zbody,
-                              jnp.int32(0), unroll=False)
 
 
 def _bwd_dkv_kernel(
@@ -423,14 +405,15 @@ def _bwd_dkv_kernel(
     dk_hbm, dv_hbm,
     k_buf, v_buf, q_buf, do_buf, rab_buf, dk_buf, dv_buf, acck_ref, accv_ref,
     sem,
-    *, B, H, D, V, BQ, BK, has_rab,
+    *, B, H, D, V, BQ, BK, MAXT, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
-    b = pl.program_id(0)
+    i = pl.program_id(0)
     alpha = jnp.float32(alpha)
     inv_scaling = jnp.float32(inv_scaling)
-    ki = pl.program_id(1)
+    b = meta_ref[4 * B + i]
+    ki = meta_ref[4 * B + MAXT + i]
     off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
     k_lo = ki * jnp.int32(BK)
 
@@ -608,14 +591,54 @@ class _Layout:
             self._to_p_valid[:, None], out, jnp.zeros((), x2d_al.dtype)
         )
 
-    def meta(self, num_contextuals, num_targets):
+    def meta(self, num_contextuals, num_targets, block_size, max_tiles):
+        """Scalar-prefetch payload: per-seq metadata plus a compacted tile
+        WORKLIST so the kernel grid only visits real (seq, tile) pairs —
+        with Zipf-skewed jagged batches a dense (B, N/bs) grid is mostly
+        empty instances whose fixed overhead dominates the kernel."""
         B = self.lengths.shape[0]
         z = jnp.zeros((B,), jnp.int32)
+        counts = (self.lengths + block_size - 1) // block_size
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
+        )
+        slot = jnp.arange(max_tiles, dtype=jnp.int32)
+        bb = jnp.clip(
+            jnp.searchsorted(offs, slot, side="right") - 1, 0, B - 1
+        ).astype(jnp.int32)
+        ti = slot - offs[bb]  # >= counts[b] for out-of-range slots
         return jnp.concatenate([
             self.aligned_offsets[:-1],
             self.lengths,
             z if num_contextuals is None else num_contextuals.astype(jnp.int32),
             z if num_targets is None else num_targets.astype(jnp.int32),
+            bb,
+            ti,
+        ])
+
+    def num_tiles(self, block_size: int) -> int:
+        """Static worklist capacity: sum ceil(n_i/bs) <= T/bs + B."""
+        B = self.lengths.shape[0]
+        return self.T // block_size + B
+
+    def dense_meta(self, num_contextuals, num_targets, num_tiles_per_seq):
+        """meta() with a DENSE (b, tile) enumeration — the b-major
+        equivalent of a (B, N/bs) grid."""
+        B = self.lengths.shape[0]
+        z = jnp.zeros((B,), jnp.int32)
+        bb = jnp.repeat(
+            jnp.arange(B, dtype=jnp.int32), num_tiles_per_seq
+        )
+        ti = jnp.tile(
+            jnp.arange(num_tiles_per_seq, dtype=jnp.int32), B
+        )
+        return jnp.concatenate([
+            self.aligned_offsets[:-1],
+            self.lengths,
+            z if num_contextuals is None else num_contextuals.astype(jnp.int32),
+            z if num_targets is None else num_targets.astype(jnp.int32),
+            bb,
+            ti,
         ])
 
 
@@ -665,7 +688,8 @@ def _hstu_fwd_impl(
     NQ = pl.cdiv(max_seqlen, BQ)
     NK = pl.cdiv(max_seqlen, BK)
     lay = _Layout(seq_offsets, T, max(BQ, BK))
-    meta = lay.meta(num_contextuals, num_targets)
+    MAXT = lay.num_tiles(BQ)
+    meta = lay.meta(num_contextuals, num_targets, BQ, MAXT)
     qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
     ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
     va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
@@ -673,7 +697,7 @@ def _hstu_fwd_impl(
 
     kernel = functools.partial(
         _fwd_kernel,
-        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK, has_rab=has_rab,
+        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK, MAXT=MAXT, has_rab=has_rab,
         quantized=quantized, v_scale=v_scale,
         alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
         causal=causal,
@@ -715,7 +739,7 @@ def _hstu_fwd_impl(
         body,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, NQ),
+            grid=(MAXT,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=scratch,
@@ -724,7 +748,7 @@ def _hstu_fwd_impl(
             (lay.T_al, H * V), out_dtype if out_dtype is not None else v.dtype
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(*ins)
@@ -752,7 +776,15 @@ def _hstu_bwd_impl(
         scaling_seqlen = max_seqlen
     BQ, BK = block_q, block_k
     lay = _Layout(seq_offsets, T, max(BQ, BK))
-    meta = lay.meta(num_contextuals, num_targets)
+    NQd = pl.cdiv(max_seqlen, block_q)
+    NKd = pl.cdiv(max_seqlen, block_k)
+    MAXT_Q = B * NQd
+    MAXT_K = B * NKd
+    meta_q = lay.dense_meta(num_contextuals, num_targets, NQd)
+    meta_k = (
+        meta_q if NKd == NQd
+        else lay.dense_meta(num_contextuals, num_targets, NKd)
+    )
     if aligned is not None:
         qa, ka, va = aligned
     else:
@@ -779,9 +811,9 @@ def _hstu_bwd_impl(
 
     # ---- dq (+ drab)
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, NK=NK, has_rab=has_rab, **common
+        _bwd_dq_kernel, NK=NK, MAXT=MAXT_Q, has_rab=has_rab, **common
     )
-    ins = [meta, qa, ka, va, ga]
+    ins = [meta_q, qa, ka, va, ga]
     scratch = [
         pltpu.VMEM((BQ, H * D), q.dtype),
         pltpu.VMEM((BQ, H * V), v.dtype),
@@ -794,7 +826,11 @@ def _hstu_bwd_impl(
             pltpu.VMEM((H, BQ, BK), raba.dtype),
             pltpu.VMEM((H, BQ, BK), jnp.float32),
         ]
-        body = dq_kernel
+        def body(meta_ref, q_hbm, k_hbm, v_hbm, do_hbm, rab_hbm,
+                 _drab_init, dq_hbm, drab_hbm, *rest):
+            dq_kernel(meta_ref, q_hbm, k_hbm, v_hbm, do_hbm, rab_hbm,
+                      dq_hbm, drab_hbm, *rest)
+
         n_in, n_out = 5, 2
         out_shape = [
             jax.ShapeDtypeStruct((lay.T_al, H * D), q.dtype),
@@ -819,11 +855,19 @@ def _hstu_bwd_impl(
         pltpu.VMEM((BQ, H * D), jnp.float32),
         pltpu.SemaphoreType.DMA((8,)),
     ]
+    io_alias = {}
+    if has_rab:
+        # drab tiles outside the worklist are never written: pre-zero the
+        # output by aliasing a zeros buffer to it (operand index counts the
+        # scalar-prefetch argument)
+        ins.append(jnp.zeros((B, H, NQ * BQ, NK * BK), jnp.float32))
+        n_in += 1
+        io_alias = {n_in: 1}
     res = pl.pallas_call(
         body,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, NQ),
+            grid=(MAXT_Q,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
             out_specs=(
                 [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
@@ -834,8 +878,9 @@ def _hstu_bwd_impl(
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
+        input_output_aliases=io_alias,
         interpret=interpret,
     )(*ins)
     if has_rab:
@@ -854,9 +899,9 @@ def _hstu_bwd_impl(
 
     # ---- dk/dv
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, has_rab=has_rab, **common
+        _bwd_dkv_kernel, MAXT=MAXT_K, has_rab=has_rab, **common
     )
-    ins = [meta, qa, ka, va, ga]
+    ins = [meta_k, qa, ka, va, ga]
     scratch = [
         pltpu.VMEM((BK, H * D), k.dtype),
         pltpu.VMEM((BK, H * V), v.dtype),
@@ -890,7 +935,7 @@ def _hstu_bwd_impl(
         body2,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, NK),
+            grid=(MAXT_K,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
             scratch_shapes=scratch,
@@ -900,7 +945,7 @@ def _hstu_bwd_impl(
             jax.ShapeDtypeStruct((lay.T_al, H * V), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(*ins)
