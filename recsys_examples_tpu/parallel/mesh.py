@@ -69,3 +69,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def make_multislice_mesh(
+    dp_dcn: int, dp: int = -1, tp: int = 1, devices=None
+) -> Mesh:
+    """Multi-slice mesh ("dcn", "data", "model") for data parallelism
+    across slices over DCN and dp x tp within each slice over ICI
+    (reference analogue: multi-node NCCL process groups; here the axis
+    split tells GSPMD which collectives ride which fabric — keep gradient
+    all-reduces on "dcn"+"data" and TP collectives on "model"/ICI only).
+
+    Devices must be ordered slice-major (jax.devices() already is for
+    multi-slice TPU deployments)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    per_slice = n // dp_dcn
+    assert per_slice * dp_dcn == n, (n, dp_dcn)
+    if dp == -1:
+        assert per_slice % tp == 0
+        dp = per_slice // tp
+    assert dp * tp == per_slice
+    arr = np.asarray(devices).reshape(dp_dcn, dp, tp)
+    return Mesh(arr, ("dcn", DATA_AXIS, MODEL_AXIS))
