@@ -99,7 +99,35 @@ class InferenceRankingGR:
         """
         if use_paged_kernel is None:
             use_paged_kernel = jax.default_backend() == "tpu"
-        kv, cfg = self.kv_state, self.kv_config
+        # the whole cache transition (lookup -> allocate -> strip -> dense
+        # fwd -> append) runs as ONE jitted executable per (max_new,
+        # has_candidates, paged) bucket — the CUDA-graph analogue; eager
+        # per-op dispatch of the cache bookkeeping dominates otherwise
+        key = (max_new, num_candidates is not None, use_paged_kernel,
+               item_ids.shape)
+        if not hasattr(self, "_steps"):
+            self._steps = {}
+        if key not in self._steps:
+            # params and the frozen table ride as arguments — captured by
+            # closure they would be baked into the HLO as multi-GB literals
+            def step(kv_state, dense_params, item_table, user_ids,
+                     item_ids, lengths, num_candidates):
+                return self._forward_impl(
+                    kv_state, dense_params, item_table, user_ids, item_ids,
+                    lengths, num_candidates, max_new, use_paged_kernel,
+                )
+            self._steps[key] = jax.jit(step, donate_argnums=(0,))
+        self.kv_state, logits, new_lens = self._steps[key](
+            self.kv_state, self.dense_params, self.item_table,
+            user_ids, item_ids, lengths, num_candidates
+        )
+        return logits, new_lens
+
+    def _forward_impl(
+        self, kv, dense_params, item_table, user_ids, item_ids, lengths,
+        num_candidates, max_new, use_paged_kernel,
+    ):
+        cfg = self.kv_config
         slots, cached = lookup_kvcache(kv, user_ids)
         # only history can be cached; candidates always recompute
         hist_len = lengths - (
@@ -113,7 +141,7 @@ class InferenceRankingGR:
         )
         new_ids = new_ids[..., 0]
         emb = inference_lookup(
-            self.item_table, new_ids.reshape(-1).astype(jnp.int64)
+            item_table, new_ids.reshape(-1).astype(jnp.int64)
         ).reshape(new_ids.shape[0], max_new, -1)
         emb = emb.astype(self.config.dtype)
         scaling = (
@@ -131,7 +159,7 @@ class InferenceRankingGR:
                 cached,
             )
             logits, ks, vs = self.module.apply(
-                {"params": self.dense_params},
+                {"params": dense_params},
                 emb, None, None, clen, new_lens, num_candidates, scaling,
                 paged=(kv.k_pages, kv.v_pages, page_table),
             )
@@ -139,7 +167,7 @@ class InferenceRankingGR:
             ck, cv, clen = gather_kvcache(kv, cfg, slots, cfg.max_cached_len)
             clen = jnp.minimum(clen, cached)
             logits, ks, vs = self.module.apply(
-                {"params": self.dense_params},
+                {"params": dense_params},
                 emb, ck, cv, clen, new_lens, num_candidates, scaling,
             )
         # append only the non-candidate new tokens to the cache
@@ -148,5 +176,4 @@ class InferenceRankingGR:
         )
         keep = jnp.maximum(keep, 0)
         kv = append_kvcache(kv, cfg, slots, ks, vs, keep)
-        self.kv_state = kv
-        return logits, new_lens
+        return kv, logits, new_lens

@@ -243,6 +243,14 @@ def paged_hstu_delta_attention(
     rup = lambda x, m: ((x + m - 1) // m) * m
     dh = rup(dh0, 128)
     S = rup(S0, 8)
+    # the whole new-token block lives in VMEM (q, new K/V, f32 acc):
+    # sized for decode/delta steps, not long prefills — chunk those
+    # (serving feeds history in max_new-bucket steps) or use the varlen
+    # training kernel for the uncached prefill
+    assert S * H * dh * 16 <= 12 * 2 ** 20, (
+        f"paged kernel new-token block too large for VMEM "
+        f"(S={S0}, H={H}, dh={dh0}); chunk the prefill"
+    )
 
     def pad_to(x, shape):
         return jnp.pad(x, [(0, t - c) for c, t in zip(x.shape, shape)])
