@@ -17,13 +17,15 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 # compiles are expensive on this host (single core, remote TPU compile);
 # persist them across bench runs
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -38,7 +38,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 
     from recsys_examples_tpu.dynamicemb.batched_table import (
         DynamicEmbeddingTable,

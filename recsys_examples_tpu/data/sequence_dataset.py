@@ -58,6 +58,104 @@ def preprocess_movielens(
     return data
 
 
+# KuaiRand event -> bit weight (reference: hstu_data_preprocessor.py
+# DLRMKuaiRandProcessor._event_merge_weight)
+KUAIRAND_EVENT_WEIGHTS = {
+    "is_click": 1,
+    "is_like": 2,
+    "is_follow": 4,
+    "is_comment": 8,
+    "is_forward": 16,
+    "is_hate": 32,
+    "long_view": 64,
+    "is_profile_enter": 128,
+}
+
+KUAIRAND_CONTEXTUAL_COLS = (
+    "user_active_degree",
+    "follow_user_num_range",
+    "fans_user_num_range",
+    "friend_user_num_range",
+    "register_days_range",
+)
+
+
+def preprocess_kuairand(
+    log_paths,
+    user_features_path: Optional[str],
+    out_path: str,
+    min_seq_len: int = 5,
+) -> dict:
+    """KuaiRand (pure/1k/27k) log CSVs -> sequences .npz.
+
+    Counterpart of the reference's DLRMKuaiRandProcessor
+    (examples/commons/hstu_data_preprocessor.py:429
+    `preprocess_training`:544): per-user video_id sequences ordered by
+    time_ms, per-event binary columns bit-merged into one action_weights
+    int (is_click=1, is_like=2, ..., is_profile_enter=128), and user
+    contextual features (categorical ranges) label-encoded.
+
+    The npz uses the same schema as `preprocess_movielens` (user_ids,
+    item_ids, action_ids, timestamps, offsets) plus `ctx_<name>` columns
+    [num_users] when user features are provided, so `SequenceDataset`
+    loads either dataset.
+    """
+    import pandas as pd
+
+    if isinstance(log_paths, str):
+        log_paths = [log_paths]
+    frames = [pd.read_csv(p) for p in log_paths]
+    df = pd.concat(frames, ignore_index=True)
+    events = [e for e in KUAIRAND_EVENT_WEIGHTS if e in df.columns]
+    aw = np.zeros(len(df), np.int64)
+    for e in events:
+        aw |= (df[e].to_numpy() != 0).astype(np.int64) * (
+            KUAIRAND_EVENT_WEIGHTS[e]
+        )
+    df = df.assign(action_weights=aw)
+    time_col = "time_ms" if "time_ms" in df.columns else "timestamp"
+    df = df.sort_values(["user_id", time_col], kind="stable")
+
+    ctx_maps = {}
+    if user_features_path:
+        uf = pd.read_csv(user_features_path).set_index("user_id")
+        for col in KUAIRAND_CONTEXTUAL_COLS:
+            if col in uf.columns:
+                # label-encode the categorical range strings (reference
+                # one-hot encodes to an integer id: _one_hot_encode)
+                cats = {v: i for i, v in enumerate(sorted(
+                    uf[col].astype(str).unique()))}
+                ctx_maps[col] = (uf[col].astype(str).map(cats), len(cats))
+
+    users, items, actions, tss, offsets = [], [], [], [], [0]
+    ctx_vals = {c: [] for c in ctx_maps}
+    for uid, grp in df.groupby("user_id", sort=False):
+        if len(grp) < min_seq_len:
+            continue
+        users.append(uid)
+        items.append(grp["video_id"].to_numpy(np.int64))
+        actions.append(grp["action_weights"].to_numpy(np.int64))
+        tss.append(grp[time_col].to_numpy(np.int64))
+        offsets.append(offsets[-1] + len(grp))
+        for c, (series, _) in ctx_maps.items():
+            ctx_vals[c].append(
+                int(series.get(uid, 0)) if uid in series.index else 0
+            )
+    data = {
+        "user_ids": np.asarray(users, np.int64),
+        "item_ids": np.concatenate(items) if items else np.zeros(0, np.int64),
+        "action_ids": np.concatenate(actions)
+        if actions else np.zeros(0, np.int64),
+        "timestamps": np.concatenate(tss) if tss else np.zeros(0, np.int64),
+        "offsets": np.asarray(offsets, np.int64),
+    }
+    for c in ctx_maps:
+        data[f"ctx_{c}"] = np.asarray(ctx_vals[c], np.int64)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **data)
+    return data
+
+
 class SequenceDataset:
     """Per-user sequences with leave-last-N-out train/eval split
     (reference: hstu_sequence_dataset.py)."""
@@ -70,6 +168,8 @@ class SequenceDataset:
         num_tasks: int = 1,
         eval_holdout: int = 1,
         action_vocab_size: int = 0,
+        label_mode: str = "rating_ge4",   # rating_ge4 | action_bits
+        contextual_feature_names: Tuple[str, ...] = (),
     ):
         d = np.load(npz_path)
         self.user_ids = d["user_ids"]
@@ -82,6 +182,15 @@ class SequenceDataset:
         self.num_tasks = num_tasks
         self.eval_holdout = eval_holdout
         self.action_vocab_size = action_vocab_size
+        self.label_mode = label_mode
+        self.contextual_feature_names = tuple(contextual_feature_names)
+        self.contextual = {
+            n: d[f"ctx_{n}"]
+            for n in self.contextual_feature_names
+            if f"ctx_{n}" in d
+        }
+        # "user" contextual = the user id itself (reference: user_id is
+        # always the first contextual feature)
         self.num_users = len(self.user_ids)
 
     def _user_seq(self, u: int, train: bool):
@@ -120,7 +229,8 @@ class SequenceDataset:
         )
         lab_len = np.zeros((batch_size,), np.int32)
         lib = batch_assembler_lib()
-        if lib is not None and self.action_ids is not None:
+        if (lib is not None and self.action_ids is not None
+                and self.label_mode == "rating_ge4"):
             uids64 = np.ascontiguousarray(uids, np.int64)
             items = np.ascontiguousarray(self.item_ids, np.int64)
             acts = np.ascontiguousarray(self.action_ids, np.int64)
@@ -144,9 +254,15 @@ class SequenceDataset:
                 av[pos:pos + n] = actions
             lens[j] = n
             ncand[j] = nc
-            # labels from actions on candidates (e.g. rating>=4)
+            # labels from actions on candidates: MovieLens rating>=4, or
+            # KuaiRand bit-encoded multi-event weights (decode_bits
+            # unpacks bit t as task t's label)
             if nc > 0 and actions is not None:
-                pos_lab = (actions[n - nc:] >= 4).astype(np.int32)
+                if self.label_mode == "action_bits":
+                    task_mask = (1 << self.num_tasks) - 1
+                    pos_lab = (actions[n - nc:] & task_mask).astype(np.int32)
+                else:
+                    pos_lab = (actions[n - nc:] >= 4).astype(np.int32)
                 labels[
                     j * self.max_num_candidates:
                     j * self.max_num_candidates + nc
@@ -196,12 +312,32 @@ class SequenceDataset:
                         max_len=item_max,
                     )
                     f2m["action"] = item_max
+                ctx_names = []
+                for cname in self.contextual_feature_names:
+                    if cname == "user":
+                        src = self.user_ids
+                    elif cname in self.contextual:
+                        src = self.contextual[cname]
+                    else:
+                        continue
+                    vals = np.asarray(src)[uids].astype(np.int64)
+                    feats[cname] = JaggedIds(
+                        values=jnp.asarray(vals),
+                        lengths=jnp.ones((batch_size,), jnp.int32),
+                        offsets=jnp.asarray(
+                            np.arange(batch_size + 1, dtype=np.int32)
+                        ),
+                        max_len=1,
+                    )
+                    f2m[cname] = 1
+                    ctx_names.append(cname)
                 yield HSTUBatch(
                     features=feats,
                     batch_size=batch_size,
                     feature_to_max_seqlen=f2m,
                     item_feature_name="item",
                     action_feature_name=act_name,
+                    contextual_feature_names=tuple(ctx_names),
                     max_num_candidates=self.max_num_candidates,
                     num_candidates=jnp.asarray(ncand)
                     if self.max_num_candidates
@@ -215,16 +351,26 @@ class SequenceDataset:
 
 def sequence_dataset_iterator(ds_args, trainer_args) -> Iterator[HSTUBatch]:
     """Entry used by pretrain_gr_ranking when dataset_name != random."""
-    ds = SequenceDataset(
+    ds = make_sequence_dataset(ds_args)
+    yield from ds.batches(
+        ds_args.batch_size, train=True, seed=trainer_args.seed,
+        shuffle=ds_args.shuffle,
+    )
+
+
+def make_sequence_dataset(ds_args) -> "SequenceDataset":
+    label_mode = (
+        "action_bits" if ds_args.dataset_name.startswith("kuairand")
+        else "rating_ge4"
+    )
+    return SequenceDataset(
         ds_args.dataset_path,
         max_history_len=ds_args.max_history_len,
         max_num_candidates=ds_args.max_num_candidates,
         num_tasks=ds_args.num_tasks,
         action_vocab_size=ds_args.action_vocab_size,
-    )
-    yield from ds.batches(
-        ds_args.batch_size, train=True, seed=trainer_args.seed,
-        shuffle=ds_args.shuffle,
+        label_mode=label_mode,
+        contextual_feature_names=tuple(ds_args.contextual_feature_names),
     )
 
 
@@ -259,3 +405,40 @@ class PrefetchIterator:
         if item is self._done:
             raise StopIteration
         return item
+
+
+def _cli(argv=None):
+    """Preprocessor CLI (reference: hstu_data_preprocessor.py __main__).
+
+    python -m recsys_examples_tpu.data.sequence_dataset \
+        --preprocess ml-1m --ratings ratings.dat --out ml1m_seq.npz
+    python -m recsys_examples_tpu.data.sequence_dataset \
+        --preprocess kuairand --logs a.csv,b.csv \
+        --user-features user_features_pure.csv --out kuairand_seq.npz
+    """
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--preprocess", required=True,
+                   choices=["ml-1m", "ml-20m", "kuairand"])
+    p.add_argument("--ratings", default=None)
+    p.add_argument("--logs", default=None, help="comma-separated log CSVs")
+    p.add_argument("--user-features", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-seq-len", type=int, default=5)
+    args = p.parse_args(argv)
+    if args.preprocess in ("ml-1m", "ml-20m"):
+        assert args.ratings, "--ratings required for MovieLens"
+        d = preprocess_movielens(args.ratings, args.out, args.min_seq_len)
+    else:
+        assert args.logs, "--logs required for KuaiRand"
+        d = preprocess_kuairand(
+            args.logs.split(","), args.user_features, args.out,
+            args.min_seq_len,
+        )
+    print(f"wrote {args.out}: {len(d['user_ids'])} users, "
+          f"{len(d['item_ids'])} events")
+
+
+if __name__ == "__main__":
+    _cli()

@@ -256,6 +256,17 @@ class DynamicEmbeddingTable:
         from recsys_examples_tpu.dynamicemb.optimizer import initial_opt_row
 
         u = keys.shape[0]
+        # insert_and_evict requires deduped keys (its hit-refresh scatter
+        # writes one cell per key); external callers may pass duplicates,
+        # so keep only the LAST occurrence of each key (dict semantics) by
+        # masking earlier ones to EMPTY_KEY — static shapes throughout.
+        order = jnp.argsort(keys, stable=True)
+        ks = keys[order]
+        is_last = jnp.concatenate(
+            [ks[:-1] != ks[1:], jnp.ones((1,), bool)]
+        )
+        keep = jnp.zeros((u,), bool).at[order].set(is_last)
+        keys = jnp.where(keep, keys, EMPTY_KEY)
         if scores is None:
             scores = jnp.full((u,), 1, jnp.int64) * (state.step[0] + 1)
         init_opt = initial_opt_row(

@@ -304,8 +304,12 @@ class GroupedShardedDynamicEmbedding:
 
     def _compose(self, ids: jax.Array, tid: int) -> jax.Array:
         active = ids != EMPTY_KEY
+        # An id outside [0, 2^58) would alias into another feature's key
+        # space; map offenders to EMPTY_KEY (skipped) instead of silently
+        # corrupting a different feature's embeddings.
+        in_range = (ids >= 0) & (ids < (jnp.int64(1) << self._TID_SHIFT))
         tagged = ids + (jnp.int64(tid) << self._TID_SHIFT)
-        return jnp.where(active, tagged, EMPTY_KEY)
+        return jnp.where(active & in_range, tagged, EMPTY_KEY)
 
     def forward(self, state, ids_by_feature, train: bool = True):
         """ids_by_feature: {name: [T_f] int64}. Returns

@@ -321,13 +321,33 @@ class HostKVStorage:
         from recsys_examples_tpu.utils.native import NativeHostStore
 
         self.cfg = cfg
-        # one row per user: [2, L, max_len, H, dh] flattened (k ++ v);
-        # the valid token count rides in the score column
-        self._row_elems = (
-            2 * cfg.num_layers * cfg.max_cached_len * cfg.num_heads
-            * cfg.head_dim
+        # Rows are bucketed by cached length (power-of-two token widths):
+        # a user with n cached tokens lives in the smallest bucket >= n, so
+        # host RAM scales with the actual cache, not max_cached_len. One
+        # native store per bucket; `_user_bucket` remembers where each user
+        # is so re-offloads at a different length don't leak rows.
+        self._elems_per_token = (
+            2 * cfg.num_layers * cfg.num_heads * cfg.head_dim
         )
-        self._store = NativeHostStore(self._row_elems)
+        self._stores = {}
+        self._user_bucket = {}
+        self._NativeHostStore = NativeHostStore
+
+    def _bucket(self, n: int) -> int:
+        width = 1
+        while width < n:
+            width *= 2
+        return min(width, self.cfg.max_cached_len)
+
+    def _store_for(self, width: int):
+        st = self._stores.get(width)
+        if st is None:
+            st = self._NativeHostStore(self._elems_per_token * width)
+            self._stores[width] = st
+        return st
+
+    def __len__(self) -> int:
+        return len(self._user_bucket)
 
     def offload(self, state: KVCacheState, user_id: int) -> None:
         slot, cached = lookup_kvcache(
@@ -336,35 +356,43 @@ class HostKVStorage:
         n = int(cached[0])
         if int(slot[0]) < 0 or n == 0:
             return
-        k, v, _ = gather_kvcache(
-            state, self.cfg, slot, self.cfg.max_cached_len
-        )
+        width = self._bucket(n)
+        k, v, _ = gather_kvcache(state, self.cfg, slot, width)
         row = np.concatenate([
             np.asarray(k[:, 0], np.float32).reshape(-1),
             np.asarray(v[:, 0], np.float32).reshape(-1),
         ])[None]
-        self._store.put(
-            np.asarray([user_id], np.int64), row,
-            np.asarray([n], np.int64),
-        )
+        key = np.asarray([user_id], np.int64)
+        old = self._user_bucket.get(int(user_id))
+        if old is not None and old != width:
+            self._stores[old].erase(key)
+        self._store_for(width).put(key, row, np.asarray([n], np.int64))
+        self._user_bucket[int(user_id)] = width
 
     def lookup(self, user_id: int) -> int:
-        if self._store.native:
-            import ctypes
-
+        width = self._user_bucket.get(int(user_id))
+        if width is None:
+            return 0
+        rows, found = self._stores[width].get(
+            np.asarray([user_id], np.int64)
+        )
+        if not found[0]:
+            return 0
+        # the valid token count rides in the score column
+        st = self._stores[width]
+        if st.native:
             import recsys_examples_tpu.utils.native as nat
 
             keys = np.asarray([user_id], np.int64)
             scores = np.zeros((1,), np.int64)
-            found = np.zeros((1,), np.uint8)
-            rows = np.zeros((1, self._row_elems), np.float32)
-            self._store._lib.host_store_get(
-                self._store._h, nat._ptr(keys), nat._ptr(rows),
-                nat._ptr(scores), nat._ptr(found), 1,
+            fnd = np.zeros((1,), np.uint8)
+            buf = np.zeros((1, st.row_dim), np.float32)
+            st._lib.host_store_get(
+                st._h, nat._ptr(keys), nat._ptr(buf),
+                nat._ptr(scores), nat._ptr(fnd), 1,
             )
-            return int(scores[0]) if found[0] else 0
-        rows, found = self._store.get(np.asarray([user_id], np.int64))
-        return int(self._store._scores.get(int(user_id), 0)) if found[0] else 0
+            return int(scores[0]) if fnd[0] else 0
+        return int(st._scores.get(int(user_id), 0))
 
     def onboard(
         self, state: KVCacheState, user_id: int
@@ -372,13 +400,15 @@ class HostKVStorage:
         n = self.lookup(user_id)
         if n == 0:
             return state
-        rows, found = self._store.get(np.asarray([user_id], np.int64))
+        width = self._user_bucket[int(user_id)]
+        rows, found = self._stores[width].get(
+            np.asarray([user_id], np.int64)
+        )
         if not found[0]:
             return state
         cfg = self.cfg
-        shape = (cfg.num_layers, cfg.max_cached_len, cfg.num_heads,
-                 cfg.head_dim)
-        half = self._row_elems // 2
+        shape = (cfg.num_layers, width, cfg.num_heads, cfg.head_dim)
+        half = self._elems_per_token * width // 2
         k = rows[0, :half].reshape(shape)[:, :n]
         v = rows[0, half:].reshape(shape)[:, :n]
         uid = jnp.asarray([user_id], jnp.int64)

@@ -60,6 +60,13 @@ class JaggedData:
     has_interleaved_action: bool = struct.field(pytree_node=False, default=False)
     scaling_seqlen: int = struct.field(pytree_node=False, default=-1)
 
+    # Block-aligned jagged layout (ops/pallas/hstu_attention.attn_alignment):
+    # when values_aligned, `values` is [T_al, D] with each sequence start
+    # rounded to the attention row alignment; packed_total remembers the
+    # packed T for relayout/bounds.
+    values_aligned: bool = struct.field(pytree_node=False, default=False)
+    packed_total: int = struct.field(pytree_node=False, default=0)
+
     @property
     def batch_size(self) -> int:
         return self.seqlen.shape[0]

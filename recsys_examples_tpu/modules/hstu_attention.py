@@ -37,10 +37,13 @@ def create_hstu_attention(config: HSTUConfig) -> AttentionFn:
         num_targets: Optional[jax.Array] = None,
         scaling_seqlen: int = -1,
         rab: Optional[jax.Array] = None,  # [B|1, H|1, N, N]
+        input_aligned: bool = False,
+        packed_total: int = 0,
     ) -> jax.Array:
         alpha = 1.0 / (config.kv_channels ** 0.5)
         if backend == KernelBackend.PALLAS:
             if rab is not None:
+                assert not input_aligned, "rab path expects packed layout"
                 return hstu_attn_varlen_rab(
                     q, k, v, rab,
                     (seq_offsets, num_contextuals, num_targets),
@@ -64,7 +67,10 @@ def create_hstu_attention(config: HSTUConfig) -> AttentionFn:
                 max_attn_len=config.max_attn_len,
                 block_q=config.attn_block_q,
                 block_k=config.attn_block_k,
+                input_aligned=input_aligned,
+                packed_total=packed_total,
             )
+        assert not input_aligned, "aligned layout is PALLAS-only"
         out = hstu_mha_reference(
             max_seqlen, alpha, q, k, v, seq_offsets,
             causal=config.is_causal,

@@ -212,9 +212,40 @@ class HSTUBlock(nn.Module):
         jd = HSTUBlockPreprocessor(cfg, name="preprocessor")(
             embeddings, batch, train
         )
+        # Run the layer stack in the attention kernel's block-aligned
+        # jagged layout: ONE relayout here and one back after the stack,
+        # instead of 3 gathers + 1 scatter per layer around each kernel
+        # call (plus their backward mirrors). Row overhead is <= 31 rows
+        # per sequence (ops/pallas/hstu_attention.ATTN_ALIGN).
+        from recsys_examples_tpu.modules.config import KernelBackend
+        from recsys_examples_tpu.ops.pallas.hstu_attention import (
+            attn_alignment,
+        )
+
+        use_aligned = (
+            cfg.aligned_block
+            and cfg.kernel_backend == KernelBackend.PALLAS
+            and not cfg.use_relative_attention_bias
+        )
+        if use_aligned:
+            T = jd.values.shape[0]
+            lay = attn_alignment(
+                jd.seqlen_offsets, T, cfg.attn_block_q, cfg.attn_block_k
+            )
+            jd = jd.replace(
+                values=lay.to_aligned_d(jd.values),
+                values_aligned=True,
+                packed_total=T,
+            )
         layer_cls = HSTULayer
         if cfg.recompute_layer:
             layer_cls = nn.checkpoint(HSTULayer, static_argnums=(2,))
         for i in range(cfg.num_layers):
             jd = layer_cls(cfg, name=f"layer_{i}")(jd, train)
+        if use_aligned:
+            jd = jd.replace(
+                values=lay.to_packed_d(jd.values),
+                values_aligned=False,
+                packed_total=0,
+            )
         return HSTUBlockPostprocessor(name="postprocessor")(jd)

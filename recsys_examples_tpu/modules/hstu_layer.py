@@ -106,6 +106,8 @@ class HSTULayer(nn.Module):
             if jd.scaling_seqlen > 0
             else jd.max_seqlen,
             rab=rab,
+            input_aligned=jd.values_aligned,
+            packed_total=jd.packed_total,
         )  # [T, H, dh]
         attn_out = attn_out.reshape(-1, H * dh)
 

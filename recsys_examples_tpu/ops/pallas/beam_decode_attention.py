@@ -223,7 +223,10 @@ def _kernel(
             l_c = l_c * c_n + p_n
             m_c = m_n
 
-    o_buf[:] = (a_c / l_c).astype(o_buf.dtype)
+    # l_c can be 0 when ctx_len==0 and there is no beam tail (N==0);
+    # guard the divide so the public API's degenerate input yields 0, not NaN
+    # (matches the jnp twin's NEG_INF-softmax behavior).
+    o_buf[:] = (a_c / jnp.maximum(l_c, 1e-30)).astype(o_buf.dtype)
     do = pltpu.make_async_copy(o_buf, o_hbm.at[b, h], sem.at[jnp.int32(0)])
     do.start()
     do.wait()

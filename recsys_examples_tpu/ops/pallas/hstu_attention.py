@@ -42,6 +42,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEF_BLOCK_Q = 128
 DEF_BLOCK_K = 128
+# Row granularity of per-sequence starts in the block-aligned jagged
+# layout. 32 satisfies every dtype's sublane tiling (f32 8, bf16 16,
+# int8 32) while wasting <= 31 rows per sequence — block size (BQ/BK)
+# alignment is NOT required because tiles DMA from any 32-aligned row.
+ATTN_ALIGN = 32
+
+
+@jax.custom_vjp
+def _relayout_gather(x2d, src, valid, inv_src, inv_valid):
+    """Masked row gather whose VJP is the INVERSE masked gather (the map
+    is a bijection on valid rows), avoiding the row-scatter transpose XLA
+    would otherwise emit."""
+    out = x2d[src]
+    return jnp.where(valid[:, None], out, jnp.zeros((), x2d.dtype))
+
+
+def _relayout_gather_fwd(x2d, src, valid, inv_src, inv_valid):
+    return _relayout_gather(x2d, src, valid, inv_src, inv_valid), (
+        inv_src, inv_valid,
+    )
+
+
+def _relayout_gather_bwd(res, g):
+    inv_src, inv_valid = res
+    gx = g[inv_src]
+    gx = jnp.where(inv_valid[:, None], gx, jnp.zeros((), g.dtype))
+    return gx, None, None, None, None
+
+
+_relayout_gather.defvjp(_relayout_gather_fwd, _relayout_gather_bwd)
+
+
+def attn_alignment(seq_offsets, packed_total, block_q=DEF_BLOCK_Q,
+                   block_k=DEF_BLOCK_K):
+    """Build the aligned-jagged relayout helper shared by the HSTU block
+    (one to_aligned at block entry, one to_packed at exit) and the
+    kernels (which derive the same layout from seq_offsets)."""
+    return _Layout(
+        seq_offsets, packed_total, ATTN_ALIGN,
+        tail_pad=max(block_q, block_k),
+    )
 
 
 def _silu_f32(x):
@@ -129,6 +170,13 @@ def _read_meta(meta_ref, b, B, has_context, has_targets):
     return off, n, c, t
 
 
+def _tile_meta(meta_ref, j, B, MAXT, block):
+    """(aligned start row, seq index, tile index) of worklist entry j."""
+    bj = meta_ref[4 * B + j]
+    tj = meta_ref[4 * B + MAXT + j]
+    return meta_ref[bj] + tj * jnp.int32(block), bj, tj
+
+
 def _fwd_kernel(
     meta_ref,
     q_hbm, k_hbm, v_hbm, rab_hbm,
@@ -140,31 +188,49 @@ def _fwd_kernel(
     target_group_size, max_attn_len, min_full_attn_seq_len,
     quantized=False, v_scale=1.0,
 ):
+    """Software-pipelined across the (sequential) worklist grid: step i
+    prefetches step i+1's q tile and defers its own o write-back wait to
+    step i+2 (sem layout: 0/1 q slots, 2/3 k, 4/5 v, 6 rab, 7/8 o)."""
     i = pl.program_id(0)
+    nwork = meta_ref[4 * B + 2 * MAXT]
     alpha = jnp.float32(alpha)
     inv_scaling = jnp.float32(inv_scaling)
-    b = meta_ref[4 * B + i]
-    qi = meta_ref[4 * B + MAXT + i]
-    off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
-    q_lo = qi * jnp.int32(BQ)
 
-    @pl.when(q_lo < n)
+    def q_dma(j, slot):
+        s, _, _ = _tile_meta(meta_ref, j, B, MAXT, BQ)
+        s = pl.multiple_of(s, 32)
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(s, BQ)], q_buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i < nwork)
     def _work():
-        s = pl.multiple_of(off + q_lo, BQ)
-        q_dma = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[jnp.int32(0)])
-        q_dma.start()
+        p = jax.lax.rem(i, jnp.int32(2))
+        b = meta_ref[4 * B + i]
+        qi = meta_ref[4 * B + MAXT + i]
+        off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
+        q_lo = qi * jnp.int32(BQ)
+        s = pl.multiple_of(off + q_lo, 32)
+
+        @pl.when(i == 0)
+        def _():
+            q_dma(jnp.int32(0), jnp.int32(0)).start()
+
+        @pl.when(i + 1 < nwork)
+        def _():
+            q_dma(i + 1, jnp.int32(1) - p).start()
 
         kv_end = _kv_extent(q_lo, n, c, BQ, causal=causal, has_context=has_context)
         num_kb = _cdiv(kv_end, BK)
 
         def kv_dma(slot, kj):
-            ks = pl.multiple_of(off + kj * jnp.int32(BK), BK)
+            ks = pl.multiple_of(off + kj * jnp.int32(BK), 32)
             return (
                 pltpu.make_async_copy(
-                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[jnp.int32(1) + slot]
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[jnp.int32(2) + slot]
                 ),
                 pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[jnp.int32(3) + slot]
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[jnp.int32(4) + slot]
                 ),
             )
 
@@ -183,8 +249,8 @@ def _fwd_kernel(
             r0.start()
 
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        q_dma.wait()
-        qf = q_buf[:]
+        q_dma(i, p).wait()
+        qf = q_buf[p]
         row_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
 
         def body(kj, _):
@@ -231,9 +297,9 @@ def _fwd_kernel(
                 ).astype(jnp.float32) * alpha
                 if has_rab:
                     sc = sc + rab_tile[h]
-                p = _silu_f32(sc) * inv_scaling * mask
+                p_attn = _silu_f32(sc) * inv_scaling * mask
                 acc_ref[:, h * V:(h + 1) * V] += jax.lax.dot_general(
-                    p.astype(vf.dtype), vf[:, h * V:(h + 1) * V],
+                    p_attn.astype(vf.dtype), vf[:, h * V:(h + 1) * V],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -244,13 +310,34 @@ def _fwd_kernel(
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
+
+        def o_dma(j, slot):
+            sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BQ)
+            sj = pl.multiple_of(sj, 32)
+            return pltpu.make_async_copy(
+                o_buf.at[slot], o_hbm.at[pl.ds(sj, BQ)],
+                sem.at[jnp.int32(7) + slot],
+            )
+
         if quantized:
-            o_buf[:] = (acc_ref[:] * jnp.float32(v_scale)).astype(o_buf.dtype)
+            o_buf[p] = (acc_ref[:] * jnp.float32(v_scale)).astype(o_buf.dtype)
         else:
-            o_buf[:] = acc_ref[:].astype(o_buf.dtype)
-        o_dma = pltpu.make_async_copy(o_buf, o_hbm.at[pl.ds(s, BQ)], sem.at[jnp.int32(5)])
-        o_dma.start()
-        o_dma.wait()
+            o_buf[p] = acc_ref[:].astype(o_buf.dtype)
+
+        # With 32-row sequence alignment a tile's BQ-row write can overrun
+        # into the next sequence's rows (rewritten correctly by its own
+        # first tile later). Writes must therefore land in worklist order:
+        # wait step i-1's write (latency already hidden behind this step's
+        # compute) before starting our own.
+        @pl.when(i >= 1)
+        def _():
+            o_dma(i - 1, jnp.int32(1) - p).wait()
+
+        o_dma(i, p).start()
+
+        @pl.when(i == nwork - 1)
+        def _():
+            o_dma(i, p).wait()
 
 
 def _bwd_dq_kernel(
@@ -259,37 +346,63 @@ def _bwd_dq_kernel(
     dq_hbm, drab_hbm,
     q_buf, do_buf, k_buf, v_buf, rab_buf, drab_buf, dq_buf, acc_ref,
     sem,
-    *, B, H, D, V, BQ, BK, NK, MAXT, has_rab,
+    *, B, H, D, V, BQ, BK, MAXT, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
+    """dq over the compacted q-tile worklist, software-pipelined like
+    _fwd_kernel (sem layout: 0/1 q, 2/3 do, 4/5 k, 6/7 v, 8 rab, 9 drab,
+    10/11 dq write-back)."""
     i = pl.program_id(0)
+    nwork = meta_ref[4 * B + 2 * MAXT]
     alpha = jnp.float32(alpha)
     inv_scaling = jnp.float32(inv_scaling)
-    b = meta_ref[4 * B + i]
-    qi = meta_ref[4 * B + MAXT + i]
-    off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
-    q_lo = qi * jnp.int32(BQ)
 
-    @pl.when(q_lo < n)
+    def in_dma(j, slot):
+        sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BQ)
+        sj = pl.multiple_of(sj, 32)
+        return (
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(sj, BQ)], q_buf.at[slot], sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                do_hbm.at[pl.ds(sj, BQ)], do_buf.at[slot],
+                sem.at[jnp.int32(2) + slot]
+            ),
+        )
+
+    @pl.when(i < nwork)
     def _work():
-        s = pl.multiple_of(off + q_lo, BQ)
-        d1 = pltpu.make_async_copy(q_hbm.at[pl.ds(s, BQ)], q_buf, sem.at[jnp.int32(0)])
-        d2 = pltpu.make_async_copy(do_hbm.at[pl.ds(s, BQ)], do_buf, sem.at[jnp.int32(1)])
-        d1.start()
-        d2.start()
+        p = jax.lax.rem(i, jnp.int32(2))
+        b = meta_ref[4 * B + i]
+        qi = meta_ref[4 * B + MAXT + i]
+        off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
+        q_lo = qi * jnp.int32(BQ)
+        s = pl.multiple_of(off + q_lo, 32)
+
+        @pl.when(i == 0)
+        def _():
+            a, bb = in_dma(jnp.int32(0), jnp.int32(0))
+            a.start()
+            bb.start()
+
+        @pl.when(i + 1 < nwork)
+        def _():
+            a, bb = in_dma(i + 1, jnp.int32(1) - p)
+            a.start()
+            bb.start()
 
         kv_end = _kv_extent(q_lo, n, c, BQ, causal=causal, has_context=has_context)
         num_kb = _cdiv(kv_end, BK)
 
         def kv_dma(slot, kj):
-            ks = pl.multiple_of(off + kj * jnp.int32(BK), BK)
+            ks = pl.multiple_of(off + kj * jnp.int32(BK), 32)
             return (
                 pltpu.make_async_copy(
-                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[jnp.int32(2) + slot]
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[slot], sem.at[jnp.int32(4) + slot]
                 ),
                 pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[jnp.int32(4) + slot]
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[slot], sem.at[jnp.int32(6) + slot]
                 ),
             )
 
@@ -297,7 +410,7 @@ def _bwd_dq_kernel(
             return pltpu.make_async_copy(
                 rab_hbm.at[b, :, pl.ds(pl.multiple_of(q_lo, BQ), BQ),
                            pl.ds(pl.multiple_of(kj * jnp.int32(BK), BK), BK)],
-                rab_buf, sem.at[jnp.int32(6)],
+                rab_buf, sem.at[jnp.int32(8)],
             )
 
         def drab_wr(kj):
@@ -305,7 +418,7 @@ def _bwd_dq_kernel(
                 drab_buf,
                 drab_hbm.at[b, :, pl.ds(pl.multiple_of(q_lo, BQ), BQ),
                             pl.ds(pl.multiple_of(kj * jnp.int32(BK), BK), BK)],
-                sem.at[jnp.int32(7)],
+                sem.at[jnp.int32(9)],
             )
 
         a0, b0 = kv_dma(jnp.int32(0), jnp.int32(0))
@@ -314,10 +427,11 @@ def _bwd_dq_kernel(
         if has_rab:
             rab_rd(jnp.int32(0)).start()
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        d1, d2 = in_dma(i, p)
         d1.wait()
         d2.wait()
-        qf = q_buf[:].astype(jnp.float32)
-        dof = do_buf[:].astype(jnp.float32)
+        qf = q_buf[p].astype(jnp.float32)
+        dof = do_buf[p].astype(jnp.float32)
         row_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
 
         def body(kj, _):
@@ -380,22 +494,30 @@ def _bwd_dq_kernel(
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
-        if has_rab:
-            # zero the drab tiles this q strip never visited
-            drab_buf[:] = jnp.zeros_like(drab_buf)
+        # drab tiles this strip never visited stay zero via the pre-zeroed
+        # aliased output (io_alias in _hstu_bwd_impl) — no zero-fill loop.
 
-            def zbody(kj, _):
-                w = drab_wr(kj)
-                w.start()
-                w.wait()
-                return jnp.int32(0)
+        def dq_dma(j, slot):
+            sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BQ)
+            sj = pl.multiple_of(sj, 32)
+            return pltpu.make_async_copy(
+                dq_buf.at[slot], dq_hbm.at[pl.ds(sj, BQ)],
+                sem.at[jnp.int32(10) + slot],
+            )
 
-            jax.lax.fori_loop(num_kb, jnp.int32(NK), zbody, jnp.int32(0),
-                              unroll=False)
-        dq_buf[:] = acc_ref[:].astype(dq_buf.dtype)
-        d = pltpu.make_async_copy(dq_buf, dq_hbm.at[pl.ds(s, BQ)], sem.at[jnp.int32(0)])
-        d.start()
-        d.wait()
+        dq_buf[p] = acc_ref[:].astype(dq_buf.dtype)
+
+        # ordered writes: see _fwd_kernel (32-aligned tiles can overrun
+        # into the next sequence's rows)
+        @pl.when(i >= 1)
+        def _():
+            dq_dma(i - 1, jnp.int32(1) - p).wait()
+
+        dq_dma(i, p).start()
+
+        @pl.when(i == nwork - 1)
+        def _():
+            dq_dma(i, p).wait()
 
 
 
@@ -409,21 +531,48 @@ def _bwd_dkv_kernel(
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
+    """dk/dv over the compacted k-tile worklist (meta built with
+    block_size=BK), software-pipelined: step i prefetches step i+1's k/v
+    strip and defers its dk/dv write-back waits (sem layout: 0/1 k, 2/3 v,
+    4/5 q, 6/7 do, 8 rab, 9/10 dk, 11/12 dv)."""
     i = pl.program_id(0)
+    nwork = meta_ref[4 * B + 2 * MAXT]
     alpha = jnp.float32(alpha)
     inv_scaling = jnp.float32(inv_scaling)
-    b = meta_ref[4 * B + i]
-    ki = meta_ref[4 * B + MAXT + i]
-    off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
-    k_lo = ki * jnp.int32(BK)
 
-    @pl.when(k_lo < n)
+    def in_dma(j, slot):
+        sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BK)
+        sj = pl.multiple_of(sj, 32)
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[pl.ds(sj, BK)], k_buf.at[slot], sem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(sj, BK)], v_buf.at[slot],
+                sem.at[jnp.int32(2) + slot]
+            ),
+        )
+
+    @pl.when(i < nwork)
     def _work():
-        s = pl.multiple_of(off + k_lo, BK)
-        d1 = pltpu.make_async_copy(k_hbm.at[pl.ds(s, BK)], k_buf, sem.at[jnp.int32(0)])
-        d2 = pltpu.make_async_copy(v_hbm.at[pl.ds(s, BK)], v_buf, sem.at[jnp.int32(1)])
-        d1.start()
-        d2.start()
+        p = jax.lax.rem(i, jnp.int32(2))
+        b = meta_ref[4 * B + i]
+        ki = meta_ref[4 * B + MAXT + i]
+        off, n, c, t = _read_meta(meta_ref, b, B, has_context, has_targets)
+        k_lo = ki * jnp.int32(BK)
+        s = pl.multiple_of(off + k_lo, 32)
+
+        @pl.when(i == 0)
+        def _():
+            a, bb = in_dma(jnp.int32(0), jnp.int32(0))
+            a.start()
+            bb.start()
+
+        @pl.when(i + 1 < nwork)
+        def _():
+            a, bb = in_dma(i + 1, jnp.int32(1) - p)
+            a.start()
+            bb.start()
 
         # first q tile that can see this k tile (causal skip); contextual
         # rows live in the first tiles and see everything, so start at 0.
@@ -434,13 +583,13 @@ def _bwd_dkv_kernel(
         num_qb = _cdiv(n, BQ)
 
         def q_dma(slot, qj):
-            qs = pl.multiple_of(off + qj * jnp.int32(BQ), BQ)
+            qs = pl.multiple_of(off + qj * jnp.int32(BQ), 32)
             return (
                 pltpu.make_async_copy(
-                    q_hbm.at[pl.ds(qs, BQ)], q_buf.at[slot], sem.at[jnp.int32(2) + slot]
+                    q_hbm.at[pl.ds(qs, BQ)], q_buf.at[slot], sem.at[jnp.int32(4) + slot]
                 ),
                 pltpu.make_async_copy(
-                    do_hbm.at[pl.ds(qs, BQ)], do_buf.at[slot], sem.at[jnp.int32(4) + slot]
+                    do_hbm.at[pl.ds(qs, BQ)], do_buf.at[slot], sem.at[jnp.int32(6) + slot]
                 ),
             )
 
@@ -449,7 +598,7 @@ def _bwd_dkv_kernel(
                 rab_hbm.at[b, :,
                            pl.ds(pl.multiple_of(qj * jnp.int32(BQ), BQ), BQ),
                            pl.ds(pl.multiple_of(k_lo, BK), BK)],
-                rab_buf, sem.at[jnp.int32(6)],
+                rab_buf, sem.at[jnp.int32(8)],
             )
 
         a0, b0 = q_dma(jnp.int32(0), q_start_blk)
@@ -459,10 +608,11 @@ def _bwd_dkv_kernel(
             rab_rd(q_start_blk).start()
         acck_ref[:] = jnp.zeros_like(acck_ref)
         accv_ref[:] = jnp.zeros_like(accv_ref)
+        d1, d2 = in_dma(i, p)
         d1.wait()
         d2.wait()
-        kf = k_buf[:].astype(jnp.float32)
-        vf = v_buf[:].astype(jnp.float32)
+        kf = k_buf[p].astype(jnp.float32)
+        vf = v_buf[p].astype(jnp.float32)
         col_pos = k_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
 
         def body(idx, _):
@@ -524,14 +674,41 @@ def _bwd_dkv_kernel(
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), (num_qb - q_start_blk).astype(jnp.int32), body, jnp.int32(0), unroll=False)
-        dk_buf[:] = acck_ref[:].astype(dk_buf.dtype)
-        dv_buf[:] = accv_ref[:].astype(dv_buf.dtype)
-        w1 = pltpu.make_async_copy(dk_buf, dk_hbm.at[pl.ds(s, BK)], sem.at[jnp.int32(0)])
-        w2 = pltpu.make_async_copy(dv_buf, dv_hbm.at[pl.ds(s, BK)], sem.at[jnp.int32(1)])
+
+        def out_dma(j, slot):
+            sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BK)
+            sj = pl.multiple_of(sj, 32)
+            return (
+                pltpu.make_async_copy(
+                    dk_buf.at[slot], dk_hbm.at[pl.ds(sj, BK)],
+                    sem.at[jnp.int32(9) + slot],
+                ),
+                pltpu.make_async_copy(
+                    dv_buf.at[slot], dv_hbm.at[pl.ds(sj, BK)],
+                    sem.at[jnp.int32(11) + slot],
+                ),
+            )
+
+        dk_buf[p] = acck_ref[:].astype(dk_buf.dtype)
+        dv_buf[p] = accv_ref[:].astype(dv_buf.dtype)
+
+        # ordered writes: see _fwd_kernel (32-aligned tiles can overrun
+        # into the next sequence's rows)
+        @pl.when(i >= 1)
+        def _():
+            w1p, w2p = out_dma(i - 1, jnp.int32(1) - p)
+            w1p.wait()
+            w2p.wait()
+
+        w1, w2 = out_dma(i, p)
         w1.start()
         w2.start()
-        w1.wait()
-        w2.wait()
+
+        @pl.when(i == nwork - 1)
+        def _():
+            w1l, w2l = out_dma(i, p)
+            w1l.wait()
+            w2l.wait()
 
 
 # ------------------------------------------------------------------ wrapper
@@ -546,11 +723,15 @@ class _Layout:
     T_al = T + B * align.
     """
 
-    def __init__(self, seq_offsets, T, align):
+    def __init__(self, seq_offsets, T, align, tail_pad: int = 0):
+        """align: row granularity of per-sequence starts (a sublane
+        multiple, decoupled from the kernel block sizes — tiles DMA from
+        any 32-row-aligned start). tail_pad: extra buffer rows so a
+        BQ/BK-row DMA starting near the end never runs past the buffer."""
         self.T = T
         self.align = align
         B = seq_offsets.shape[0] - 1
-        self.T_al = T + B * align
+        self.T_al = T + B * align + tail_pad
         lengths = (seq_offsets[1:] - seq_offsets[:-1]).astype(jnp.int32)
         self.lengths = lengths
         aligned_len = ((lengths + align - 1) // align) * align
@@ -558,38 +739,69 @@ class _Layout:
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_len)]
         )
         self.seq_offsets = seq_offsets.astype(jnp.int32)
+        self._B = B
 
-        def r2b(offs, total):
-            tt = jnp.arange(total, dtype=jnp.int32)
-            bb = jnp.searchsorted(offs, tt, side="right") - 1
-            return jnp.clip(bb, 0, B - 1)
+    def _r2b(self, offs, total):
+        tt = jnp.arange(total, dtype=jnp.int32)
+        bb = jnp.searchsorted(offs, tt, side="right") - 1
+        return jnp.clip(bb, 0, self._B - 1)
 
+    def _conversion_maps(self):
+        """Gather maps for packed <-> aligned relayout. Computed per call
+        (NOT cached on self: a cache would leak tracers between the
+        separately-traced custom_vjp fwd/bwd closures; XLA CSEs the
+        duplicate index math within one trace anyway). Kernel-only users
+        (aligned-mode calls) never call this."""
+        T = self.T
         # aligned row -> packed source row (+ validity)
-        b_al = r2b(self.aligned_offsets, self.T_al)
-        pos_al = jnp.arange(self.T_al, dtype=jnp.int32) - self.aligned_offsets[b_al]
-        self._to_al_src = jnp.clip(self.seq_offsets[b_al] + pos_al, 0, T - 1)
-        self._to_al_valid = pos_al < lengths[b_al]
+        b_al = self._r2b(self.aligned_offsets, self.T_al)
+        pos_al = (
+            jnp.arange(self.T_al, dtype=jnp.int32)
+            - self.aligned_offsets[b_al]
+        )
+        to_al_src = jnp.clip(self.seq_offsets[b_al] + pos_al, 0, T - 1)
+        to_al_valid = pos_al < self.lengths[b_al]
         # packed row -> aligned source row (+ validity)
-        b_p = r2b(self.seq_offsets, T)
+        b_p = self._r2b(self.seq_offsets, T)
         pos_p = jnp.arange(T, dtype=jnp.int32) - self.seq_offsets[b_p]
-        self._to_p_src = jnp.clip(
+        to_p_src = jnp.clip(
             self.aligned_offsets[b_p] + pos_p, 0, self.T_al - 1
         )
-        self._to_p_valid = (
+        to_p_valid = (
             jnp.arange(T, dtype=jnp.int32) < self.seq_offsets[-1]
         )
+        return (to_al_src, to_al_valid, to_p_src, to_p_valid)
+
+    @property
+    def valid_rows(self):
+        """[T_al] bool: rows holding real tokens in the aligned layout."""
+        return self._conversion_maps()[1]
 
     def to_aligned(self, x2d):
-        out = x2d[self._to_al_src]
+        to_al_src, to_al_valid, _, _ = self._conversion_maps()
+        out = x2d[to_al_src]
         return jnp.where(
-            self._to_al_valid[:, None], out, jnp.zeros((), x2d.dtype)
+            to_al_valid[:, None], out, jnp.zeros((), x2d.dtype)
         )
 
     def to_packed(self, x2d_al):
-        out = x2d_al[self._to_p_src]
+        _, _, to_p_src, to_p_valid = self._conversion_maps()
+        out = x2d_al[to_p_src]
         return jnp.where(
-            self._to_p_valid[:, None], out, jnp.zeros((), x2d_al.dtype)
+            to_p_valid[:, None], out, jnp.zeros((), x2d_al.dtype)
         )
+
+    # Differentiable relayouts with gather-based VJPs. The relayout is a
+    # bijection on valid rows (padding rows are constant zeros), so the
+    # transpose of each gather is the INVERSE gather — without these, the
+    # autodiff transpose is a row scatter, which serializes on the TPU
+    # scalar core and costs more than the whole attention kernel.
+    def to_aligned_d(self, x2d):
+        return _relayout_gather(x2d, *self._conversion_maps())
+
+    def to_packed_d(self, x2d_al):
+        src, valid, isrc, ivalid = self._conversion_maps()
+        return _relayout_gather(x2d_al, isrc, ivalid, src, valid)
 
     def meta(self, num_contextuals, num_targets, block_size, max_tiles):
         """Scalar-prefetch payload: per-seq metadata plus a compacted tile
@@ -614,33 +826,15 @@ class _Layout:
             z if num_targets is None else num_targets.astype(jnp.int32),
             bb,
             ti,
+            offs[-1:],  # nwork: count of real tiles (valid entries are a
+                        # contiguous prefix — the cross-step software
+                        # pipeline in the kernels relies on this)
         ])
 
     def num_tiles(self, block_size: int) -> int:
         """Static worklist capacity: sum ceil(n_i/bs) <= T/bs + B."""
         B = self.lengths.shape[0]
         return self.T // block_size + B
-
-    def dense_meta(self, num_contextuals, num_targets, num_tiles_per_seq):
-        """meta() with a DENSE (b, tile) enumeration — the b-major
-        equivalent of a (B, N/bs) grid."""
-        B = self.lengths.shape[0]
-        z = jnp.zeros((B,), jnp.int32)
-        bb = jnp.repeat(
-            jnp.arange(B, dtype=jnp.int32), num_tiles_per_seq
-        )
-        ti = jnp.tile(
-            jnp.arange(num_tiles_per_seq, dtype=jnp.int32), B
-        )
-        return jnp.concatenate([
-            self.aligned_offsets[:-1],
-            self.lengths,
-            z if num_contextuals is None else num_contextuals.astype(jnp.int32),
-            z if num_targets is None else num_targets.astype(jnp.int32),
-            bb,
-            ti,
-        ])
-
 
 def _pad_head_dim(x, T, H, D, Dp):
     """[T, H, D] -> [T, H*Dp] with zero-padded per-head columns (Mosaic
@@ -675,9 +869,16 @@ def _hstu_fwd_impl(
     target_group_size, max_attn_len, min_full_attn_seq_len,
     block_q, block_k, interpret, return_aligned=False,
     quantized=False, v_scale=1.0, out_dtype=None,
+    input_aligned=False, packed_total=0,
 ):
+    """input_aligned: q/k/v are already in the kernel's block-aligned
+    jagged layout ([T_al, H, D], built by `attn_alignment().to_aligned`)
+    and the output stays aligned — lets the HSTU block run its whole layer
+    stack in aligned layout with ONE relayout at block entry/exit instead
+    of six gathers per layer. packed_total = packed T (static) in that
+    case."""
     seq_offsets, num_contextuals, num_targets = aux
-    T, H, D0 = q.shape
+    Tin, H, D0 = q.shape
     V0 = v.shape[2]
     D = -(-D0 // 128) * 128
     V = -(-V0 // 128) * 128
@@ -687,12 +888,19 @@ def _hstu_fwd_impl(
     BQ, BK = block_q, block_k
     NQ = pl.cdiv(max_seqlen, BQ)
     NK = pl.cdiv(max_seqlen, BK)
-    lay = _Layout(seq_offsets, T, max(BQ, BK))
+    T = packed_total if input_aligned else Tin
+    lay = _Layout(seq_offsets, T, ATTN_ALIGN, tail_pad=max(BQ, BK))
     MAXT = lay.num_tiles(BQ)
     meta = lay.meta(num_contextuals, num_targets, BQ, MAXT)
-    qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
-    ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
-    va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
+    if input_aligned:
+        assert Tin == lay.T_al, (Tin, lay.T_al)
+        qa = _pad_head_dim(q, Tin, H, D0, D)
+        ka = _pad_head_dim(k, Tin, H, D0, D)
+        va = _pad_head_dim(v, Tin, H, V0, V)
+    else:
+        qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
+        ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
+        va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
     has_rab = rab is not None
 
     kernel = functools.partial(
@@ -709,7 +917,7 @@ def _hstu_fwd_impl(
     )
     ins = [meta, qa, ka, va]
     scratch = [
-        pltpu.VMEM((BQ, H * D), q.dtype),
+        pltpu.VMEM((2, BQ, H * D), q.dtype),
         pltpu.VMEM((2, BK, H * D), k.dtype),
         pltpu.VMEM((2, BK, H * V), v.dtype),
     ]
@@ -730,10 +938,10 @@ def _hstu_fwd_impl(
         n_in = 3
     scratch += [
         pltpu.VMEM(
-            (BQ, H * V), out_dtype if out_dtype is not None else v.dtype
+            (2, BQ, H * V), out_dtype if out_dtype is not None else v.dtype
         ),
         pltpu.VMEM((BQ, H * V), jnp.float32),
-        pltpu.SemaphoreType.DMA((7,)),
+        pltpu.SemaphoreType.DMA((9,)),
     ]
     out = pl.pallas_call(
         body,
@@ -752,7 +960,14 @@ def _hstu_fwd_impl(
         ),
         interpret=interpret,
     )(*ins)
-    res = _unpad_head_dim(lay.to_packed(out), T, H, V0, V)
+    if input_aligned:
+        # zero rows the kernel never writes (inter-sequence + tail pad):
+        # their junk would otherwise leak into downstream weight grads
+        valid = lay.valid_rows
+        out = jnp.where(valid[:, None], out, jnp.zeros((), out.dtype))
+        res = _unpad_head_dim(out, lay.T_al, H, V0, V)
+    else:
+        res = _unpad_head_dim(lay.to_packed(out), T, H, V0, V)
     if return_aligned:
         # hand the aligned q/k/v buffers to the custom_vjp so the backward
         # pass skips re-gathering them into the block-aligned layout
@@ -764,10 +979,10 @@ def _hstu_bwd_impl(
     q, k, v, rab, aux, g,
     max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
-    aligned=None,
+    aligned=None, input_aligned=False, packed_total=0,
 ):
     seq_offsets, num_contextuals, num_targets = aux
-    T, H, D0 = q.shape
+    Tin, H, D0 = q.shape
     V0 = v.shape[2]
     D = -(-D0 // 128) * 128
     V = -(-V0 // 128) * 128
@@ -775,23 +990,29 @@ def _hstu_bwd_impl(
     if scaling_seqlen == -1:
         scaling_seqlen = max_seqlen
     BQ, BK = block_q, block_k
-    lay = _Layout(seq_offsets, T, max(BQ, BK))
-    NQd = pl.cdiv(max_seqlen, block_q)
-    NKd = pl.cdiv(max_seqlen, block_k)
-    MAXT_Q = B * NQd
-    MAXT_K = B * NKd
-    meta_q = lay.dense_meta(num_contextuals, num_targets, NQd)
+    T = packed_total if input_aligned else Tin
+    lay = _Layout(seq_offsets, T, ATTN_ALIGN, tail_pad=max(BQ, BK))
+    MAXT_Q = lay.num_tiles(BQ)
+    MAXT_K = lay.num_tiles(BK)
+    meta_q = lay.meta(num_contextuals, num_targets, BQ, MAXT_Q)
     meta_k = (
-        meta_q if NKd == NQd
-        else lay.dense_meta(num_contextuals, num_targets, NKd)
+        meta_q if BK == BQ
+        else lay.meta(num_contextuals, num_targets, BK, MAXT_K)
     )
     if aligned is not None:
         qa, ka, va = aligned
+    elif input_aligned:
+        qa = _pad_head_dim(q, Tin, H, D0, D)
+        ka = _pad_head_dim(k, Tin, H, D0, D)
+        va = _pad_head_dim(v, Tin, H, V0, V)
     else:
         qa = lay.to_aligned(_pad_head_dim(q, T, H, D0, D))
         ka = lay.to_aligned(_pad_head_dim(k, T, H, D0, D))
         va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
-    ga = lay.to_aligned(_pad_head_dim(g.astype(v.dtype), T, H, V0, V))
+    if input_aligned:
+        ga = _pad_head_dim(g.astype(v.dtype), lay.T_al, H, V0, V)
+    else:
+        ga = lay.to_aligned(_pad_head_dim(g.astype(v.dtype), T, H, V0, V))
     has_rab = rab is not None
     NQ = pl.cdiv(max_seqlen, BQ)
     NK = pl.cdiv(max_seqlen, BK)
@@ -811,12 +1032,12 @@ def _hstu_bwd_impl(
 
     # ---- dq (+ drab)
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, NK=NK, MAXT=MAXT_Q, has_rab=has_rab, **common
+        _bwd_dq_kernel, MAXT=MAXT_Q, has_rab=has_rab, **common
     )
     ins = [meta_q, qa, ka, va, ga]
     scratch = [
-        pltpu.VMEM((BQ, H * D), q.dtype),
-        pltpu.VMEM((BQ, H * V), v.dtype),
+        pltpu.VMEM((2, BQ, H * D), q.dtype),
+        pltpu.VMEM((2, BQ, H * V), v.dtype),
         pltpu.VMEM((2, BK, H * D), k.dtype),
         pltpu.VMEM((2, BK, H * V), v.dtype),
     ]
@@ -851,9 +1072,9 @@ def _hstu_bwd_impl(
         n_in, n_out = 4, 1
         out_shape = jax.ShapeDtypeStruct((lay.T_al, H * D), q.dtype)
     scratch += [
-        pltpu.VMEM((BQ, H * D), q.dtype),
+        pltpu.VMEM((2, BQ, H * D), q.dtype),
         pltpu.VMEM((BQ, H * D), jnp.float32),
-        pltpu.SemaphoreType.DMA((8,)),
+        pltpu.SemaphoreType.DMA((12,)),
     ]
     io_alias = {}
     if has_rab:
@@ -895,7 +1116,12 @@ def _hstu_bwd_impl(
         drab = drab.astype(rab.dtype)
     else:
         dq, drab = res, None
-    dq = _unpad_head_dim(lay.to_packed(dq), T, H, D0, D)
+    if input_aligned:
+        valid3 = lay.valid_rows[:, None]
+        dq = jnp.where(valid3, dq, jnp.zeros((), dq.dtype))
+        dq = _unpad_head_dim(dq, lay.T_al, H, D0, D)
+    else:
+        dq = _unpad_head_dim(lay.to_packed(dq), T, H, D0, D)
 
     # ---- dk/dv
     dkv_kernel = functools.partial(
@@ -903,8 +1129,8 @@ def _hstu_bwd_impl(
     )
     ins = [meta_k, qa, ka, va, ga]
     scratch = [
-        pltpu.VMEM((BK, H * D), k.dtype),
-        pltpu.VMEM((BK, H * V), v.dtype),
+        pltpu.VMEM((2, BK, H * D), k.dtype),
+        pltpu.VMEM((2, BK, H * V), v.dtype),
         pltpu.VMEM((2, BQ, H * D), q.dtype),
         pltpu.VMEM((2, BQ, H * V), v.dtype),
     ]
@@ -925,11 +1151,11 @@ def _hstu_bwd_impl(
 
         n_in = 4
     scratch += [
-        pltpu.VMEM((BK, H * D), k.dtype),
-        pltpu.VMEM((BK, H * V), v.dtype),
+        pltpu.VMEM((2, BK, H * D), k.dtype),
+        pltpu.VMEM((2, BK, H * V), v.dtype),
         pltpu.VMEM((BK, H * D), jnp.float32),
         pltpu.VMEM((BK, H * V), jnp.float32),
-        pltpu.SemaphoreType.DMA((7,)),
+        pltpu.SemaphoreType.DMA((13,)),
     ]
     dk, dv = pl.pallas_call(
         body2,
@@ -949,12 +1175,19 @@ def _hstu_bwd_impl(
         ),
         interpret=interpret,
     )(*ins)
-    dk = _unpad_head_dim(lay.to_packed(dk), T, H, D0, D)
-    dv = _unpad_head_dim(lay.to_packed(dv), T, H, V0, V)
+    if input_aligned:
+        valid3 = lay.valid_rows[:, None]
+        dk = jnp.where(valid3, dk, jnp.zeros((), dk.dtype))
+        dv = jnp.where(valid3, dv, jnp.zeros((), dv.dtype))
+        dk = _unpad_head_dim(dk, lay.T_al, H, D0, D)
+        dv = _unpad_head_dim(dv, lay.T_al, H, V0, V)
+    else:
+        dk = _unpad_head_dim(lay.to_packed(dk), T, H, D0, D)
+        dv = _unpad_head_dim(lay.to_packed(dv), T, H, V0, V)
     return dq, dk, dv, drab
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(4, 14)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(4, 16)))
 def hstu_attn_varlen(
     q: jax.Array,
     k: jax.Array,
@@ -970,12 +1203,20 @@ def hstu_attn_varlen(
     block_q: int = DEF_BLOCK_Q,
     block_k: int = DEF_BLOCK_K,
     interpret: bool = False,
+    input_aligned: bool = False,
+    packed_total: int = 0,
 ):
-    """Jagged varlen HSTU attention: q,k [T,H,D], v [T,H,V] -> [T,H,V]."""
+    """Jagged varlen HSTU attention: q,k [T,H,D], v [T,H,V] -> [T,H,V].
+
+    input_aligned=True: q/k/v/output are in the block-aligned jagged
+    layout of `attn_alignment(seq_offsets, packed_total)` ([T_al, H, D]) —
+    used by the HSTU block to relayout once per block instead of once per
+    layer."""
     return _hstu_fwd_impl(
         q, k, v, None, aux, max_seqlen, alpha, scaling_seqlen, causal,
         target_group_size, max_attn_len, min_full_attn_seq_len,
         block_q, block_k, interpret,
+        input_aligned=input_aligned, packed_total=packed_total,
     )
 
 
@@ -983,11 +1224,13 @@ def _vjp_fwd(
     q, k, v, aux,
     max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+    input_aligned, packed_total,
 ):
     out, aligned = _hstu_fwd_impl(
         q, k, v, None, aux, max_seqlen, alpha, scaling_seqlen, causal,
         target_group_size, max_attn_len, min_full_attn_seq_len,
         block_q, block_k, interpret, return_aligned=True,
+        input_aligned=input_aligned, packed_total=packed_total,
     )
     return out, (q, k, v, aux, aligned)
 
@@ -995,6 +1238,7 @@ def _vjp_fwd(
 def _vjp_bwd(
     max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
     max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
+    input_aligned, packed_total,
     residuals, g,
 ):
     q, k, v, aux, aligned = residuals
@@ -1002,7 +1246,8 @@ def _vjp_bwd(
         q, k, v, None, aux, g,
         max_seqlen, alpha, scaling_seqlen, causal, target_group_size,
         max_attn_len, min_full_attn_seq_len, block_q, block_k, interpret,
-        aligned=aligned,
+        aligned=aligned, input_aligned=input_aligned,
+        packed_total=packed_total,
     )
     return dq, dk, dv, None
 

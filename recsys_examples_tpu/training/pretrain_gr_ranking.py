@@ -232,24 +232,47 @@ def main(argv=None):
     return state
 
 
+def eval_batches(ds, trainer_args, iters):
+    """Real holdout batches for file-backed datasets; synthetic only for
+    dataset_name == "random" (reference: the eval loop iterates the eval
+    dataloader, trainer/training.py:42)."""
+    if ds.dataset_name == "random":
+        for j in range(iters):
+            yield random_hstu_batch(
+                seed=99991 + j,
+                batch_size=ds.batch_size,
+                max_history_len=ds.max_history_len,
+                item_vocab=ds.item_vocab_size,
+                action_vocab=ds.action_vocab_size,
+                max_num_candidates=ds.max_num_candidates,
+                num_tasks=ds.num_tasks,
+            )
+        return
+    from recsys_examples_tpu.data.sequence_dataset import (
+        make_sequence_dataset,
+    )
+
+    sd = make_sequence_dataset(ds)
+    yield from sd.batches(
+        ds.batch_size, train=False, seed=0, shuffle=False
+    )
+
+
 def run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args, iters=8):
     num_tasks = rank_args.num_tasks
     auc = AUCState.init(num_tasks)
-    for j in range(iters):
-        batch = random_hstu_batch(
-            seed=99991 + j,
-            batch_size=ds.batch_size,
-            max_history_len=ds.max_history_len,
-            item_vocab=ds.item_vocab_size,
-            action_vocab=ds.action_vocab_size,
-            max_num_candidates=ds.max_num_candidates,
-            num_tasks=ds.num_tasks,
-        )
+    nb = 0
+    for batch in eval_batches(ds, trainer_args, iters):
         loss, aux = eval_fn(state, batch)
         labels01 = decode_bits(aux["labels"], num_tasks)
         auc = auc_update(auc, aux["logits"], labels01, aux["valid"])
+        nb += 1
     vals = np.asarray(auc_compute(auc))
-    print_rank_0("eval AUC: " + ", ".join(f"{v:.4f}" for v in vals))
+    print_rank_0(
+        f"eval ({nb} batches) AUC: "
+        + ", ".join(f"{v:.4f}" for v in vals)
+    )
+    return vals
 
 
 if __name__ == "__main__":

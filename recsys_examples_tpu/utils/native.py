@@ -19,13 +19,16 @@ _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 
 def _build_and_load(libname: str) -> Optional[ctypes.CDLL]:
     path = os.path.join(_CSRC, libname)
-    if not os.path.exists(path):
-        try:
-            subprocess.run(
-                ["make", "-C", _CSRC, libname], check=True,
-                capture_output=True,
-            )
-        except Exception:
+    # Always invoke make: its dependency tracking decides staleness (a
+    # no-op when up to date), so edits to the C++ sources are picked up
+    # instead of silently running a stale binary.
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC, libname], check=True,
+            capture_output=True,
+        )
+    except Exception:
+        if not os.path.exists(path):
             return None
     try:
         return ctypes.CDLL(path)

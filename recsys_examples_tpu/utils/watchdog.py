@@ -4,8 +4,10 @@ training iteration exceeds a timeout, then keeps watching."""
 from __future__ import annotations
 
 import faulthandler
+import io
 import sys
 import threading
+import traceback
 from typing import Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
@@ -22,7 +24,18 @@ class StackDumpWatchdog:
             f"\n[watchdog] iteration exceeded {self.timeout_s}s — "
             "dumping all thread stacks\n"
         )
-        faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
+        # faulthandler needs a real file descriptor; pytest's captured
+        # stderr (and any io.StringIO) has none — fall back to the pure-
+        # Python formatter rather than crashing while firing.
+        try:
+            sys.stderr.fileno()
+        except (AttributeError, OSError, ValueError, io.UnsupportedOperation):
+            frames = sys._current_frames()
+            for tid, frame in frames.items():
+                sys.stderr.write(f"\n[watchdog] Thread {tid}:\n")
+                sys.stderr.write("".join(traceback.format_stack(frame)))
+        else:
+            faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
         if self.repeat:
             self.reset()
 

@@ -26,6 +26,6 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # This environment has very few host cores, making XLA:CPU compiles the
 # dominant test cost. Persist compiled executables across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

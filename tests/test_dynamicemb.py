@@ -202,6 +202,46 @@ def test_get_set_score_and_fill():
     np.testing.assert_array_equal(np.asarray(sc2), [7, 8])
 
 
+def test_fill_with_duplicate_keys_last_wins():
+    # insert_and_evict's hit-refresh scatter needs deduped keys; the
+    # public fill() path must dedup (last occurrence wins, dict
+    # semantics) rather than rely on callers.
+    tbl = DynamicEmbeddingTable(
+        DynamicEmbTableOptions(embedding_dim=4, max_capacity=64,
+                               bucket_capacity=8),
+        SparseOptimizerArgs(optimizer="sgd"),
+    )
+    st = tbl.init_state()
+    keys = jnp.asarray([5, 7, 5, 9, 7, 7], jnp.int64)
+    vals = jnp.tile(
+        jnp.arange(6, dtype=jnp.float32)[:, None], (1, 4)
+    )
+    st = tbl.fill(st, keys, vals, scores=jnp.arange(10, 16, dtype=jnp.int64))
+    emb = tbl.forward_eval(st, jnp.asarray([5, 7, 9], jnp.int64))
+    np.testing.assert_allclose(np.asarray(emb[:, 0]), [2.0, 5.0, 3.0])
+    sc = tbl.get_score(st, jnp.asarray([5, 7, 9], jnp.int64))
+    np.testing.assert_array_equal(np.asarray(sc), [12, 15, 13])
+
+
+def test_watchdog_fires_without_real_stderr():
+    import io
+    import sys as _sys
+
+    from recsys_examples_tpu.utils.watchdog import StackDumpWatchdog
+
+    wd = StackDumpWatchdog(timeout_s=1000.0, repeat=False)
+    old = _sys.stderr
+    _sys.stderr = io.StringIO()
+    try:
+        wd._fire()  # must not raise even with fileno-less stderr
+        out = _sys.stderr.getvalue()
+    finally:
+        _sys.stderr = old
+        wd.cancel()
+    assert "watchdog" in out
+    assert "Thread" in out
+
+
 def test_expand_preserves_entries():
     tbl = DynamicEmbeddingTable(
         DynamicEmbTableOptions(embedding_dim=4, max_capacity=64,

@@ -209,3 +209,55 @@ def test_quantized_int8_forward_close_to_fp():
     err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
     denom = np.abs(np.asarray(want, np.float32)).mean() + 1e-6
     assert err.mean() / denom < 0.05, (err.mean(), denom)
+
+
+def test_aligned_mode_matches_packed(qkv):
+    """input_aligned=True (block-aligned layout in/out) must agree with the
+    packed path for values AND grads, including zeroed junk rows."""
+    from recsys_examples_tpu.ops.pallas.hstu_attention import (
+        attn_alignment,
+    )
+
+    q, k, v, so = qkv
+    aux = (so, None, None)
+
+    lay = attn_alignment(so, T)
+    qa = lay.to_aligned(q.reshape(T, H * D)).reshape(-1, H, D)
+    ka = lay.to_aligned(k.reshape(T, H * D)).reshape(-1, H, D)
+    va = lay.to_aligned(v.reshape(T, H * D)).reshape(-1, H, D)
+
+    def f_packed(q, k, v):
+        return hstu_attn_varlen(
+            q, k, v, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N,
+            interpret=True,
+        )
+
+    def f_aligned(qa, ka, va):
+        return hstu_attn_varlen(
+            qa, ka, va, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N,
+            interpret=True, input_aligned=True, packed_total=T,
+        )
+
+    out_p = f_packed(q, k, v)
+    out_a = f_aligned(qa, ka, va)
+    np.testing.assert_allclose(
+        np.asarray(lay.to_packed(out_a.reshape(-1, H * D))),
+        np.asarray(out_p.reshape(T, H * D)), rtol=1e-4, atol=1e-5,
+    )
+    # junk rows zeroed in aligned output
+    valid = np.asarray(lay.valid_rows)
+    oa = np.asarray(out_a.reshape(-1, H * D))
+    assert np.all(oa[~valid] == 0)
+
+    # grads agree after relayout
+    g_p = jax.grad(lambda *a: f_packed(*a).astype(jnp.float32).sum(),
+                   argnums=(0, 1, 2))(q, k, v)
+    g_a = jax.grad(lambda *a: f_aligned(*a).astype(jnp.float32).sum(),
+                   argnums=(0, 1, 2))(qa, ka, va)
+    for dp, da in zip(g_p, g_a):
+        np.testing.assert_allclose(
+            np.asarray(lay.to_packed(da.reshape(-1, H * D))),
+            np.asarray(dp.reshape(T, H * D)), rtol=1e-3, atol=1e-4,
+        )
+        daf = np.asarray(da.reshape(-1, H * D))
+        assert np.all(daf[~valid] == 0)
