@@ -101,16 +101,40 @@ class PagedHSTUInferLayer(nn.Module):
         )(x)
         from recsys_examples_tpu.modules.hstu_layer import _dense, MODEL_AXIS
 
-        uvqk = _dense(
-            4 * H * dh, use_bias=cfg.add_uvqk_bias,
-            kernel_axes=(None, MODEL_AXIS), name="linear_uvqk",
-            dtype=cfg.dtype,
-        )(normed)
-        uvqk = nn.silu(uvqk).reshape(B, S, H, 4 * dh)
-        u = uvqk[..., 0 * dh:1 * dh].reshape(B, S, H * dh)
-        v_new = uvqk[..., 1 * dh:2 * dh]
-        q = uvqk[..., 2 * dh:3 * dh]
-        k_new = uvqk[..., 3 * dh:4 * dh]
+        # chunked uvqk projection: same param names/shapes as the training
+        # HSTULayer ([D, 4, H*dh] kernel, contiguous chunk outputs)
+        uvqk_kernel = self.param(
+            "uvqk_kernel",
+            nn.with_partitioning(
+                nn.initializers.variance_scaling(
+                    1.0, "fan_in", "truncated_normal",
+                    in_axis=0, out_axis=(1, 2),
+                ),
+                (None, None, MODEL_AXIS),
+            ),
+            (D, 4, H * dh),
+            jnp.float32,
+        )
+        if cfg.add_uvqk_bias:
+            uvqk_bias = self.param(
+                "uvqk_bias",
+                nn.with_partitioning(
+                    nn.initializers.zeros_init(), (None, MODEL_AXIS)
+                ),
+                (4, H * dh),
+                jnp.float32,
+            )
+        chunks = []
+        for c in range(4):
+            w = uvqk_kernel[:, c, :].astype(cfg.dtype)
+            y_c = jnp.dot(normed, w, preferred_element_type=cfg.dtype)
+            if cfg.add_uvqk_bias:
+                y_c = y_c + uvqk_bias[c].astype(cfg.dtype)
+            chunks.append(nn.silu(y_c))
+        u, v_new, q, k_new = chunks
+        v_new = v_new.reshape(B, S, H, dh)
+        q = q.reshape(B, S, H, dh)
+        k_new = k_new.reshape(B, S, H, dh)
 
         if paged is not None:
             # paged path: read cached K/V straight from the page pool

@@ -63,21 +63,44 @@ class HSTULayer(nn.Module):
             name="input_layernorm",
         )(x)
 
-        # ---- fused uvqk projection. Column layout groups per head:
-        # [head0: u v q k | head1: u v q k | ...] so TP shards by head.
-        uvqk = _dense(
-            4 * H * dh,
-            use_bias=cfg.add_uvqk_bias,
-            kernel_axes=(None, MODEL_AXIS),
-            name="linear_uvqk",
-            dtype=cfg.dtype,
-        )(normed)
-        uvqk = nn.silu(uvqk)
-        uvqk = uvqk.reshape(-1, H, 4 * dh)
-        u = uvqk[..., 0 * dh:1 * dh].reshape(-1, H * dh)
-        v = uvqk[..., 1 * dh:2 * dh]
-        q = uvqk[..., 2 * dh:3 * dh]
-        k = uvqk[..., 3 * dh:4 * dh]
+        # ---- fused uvqk projection, one GEMM per chunk. The kernel is
+        # [D, 4, H*dh] (chunk axis = u/v/q/k; heads on the last axis so TP
+        # shards heads); each chunk's GEMM writes a CONTIGUOUS [T, H*dh]
+        # output — the reference's per-head-interleaved column layout
+        # (native_hstu_layer.py:155-197) would force strided slice copies
+        # of every u/v/q/k on TPU (~4 relayout passes per layer).
+        uvqk_kernel = self.param(
+            "uvqk_kernel",
+            nn.with_partitioning(
+                nn.initializers.variance_scaling(
+                    1.0, "fan_in", "truncated_normal",
+                    in_axis=0, out_axis=(1, 2),
+                ),
+                (None, None, MODEL_AXIS),
+            ),
+            (D, 4, H * dh),
+            jnp.float32,
+        )
+        if cfg.add_uvqk_bias:
+            uvqk_bias = self.param(
+                "uvqk_bias",
+                nn.with_partitioning(
+                    nn.initializers.zeros_init(), (None, MODEL_AXIS)
+                ),
+                (4, H * dh),
+                jnp.float32,
+            )
+        chunks = []
+        for c in range(4):
+            w = uvqk_kernel[:, c, :].astype(cfg.dtype)
+            y_c = jnp.dot(normed, w, preferred_element_type=cfg.dtype)
+            if cfg.add_uvqk_bias:
+                y_c = y_c + uvqk_bias[c].astype(cfg.dtype)
+            chunks.append(nn.silu(y_c))
+        u, v, q, k = chunks
+        v = v.reshape(-1, H, dh)
+        q = q.reshape(-1, H, dh)
+        k = k.reshape(-1, H, dh)
 
         # ---- jagged SiLU attention (optional trainable relative bias)
         rab = None
