@@ -57,9 +57,12 @@ def main():
     )
 
     on_tpu = jax.default_backend() == "tpu"
-    # benchmark shape (single-chip slice of the reference config)
+    # Benchmark shape = the reference E2E config's single-chip slice
+    # (E2E_BENCHMARK.md: batch 32/GPU, max seqlen 4096, Zipf(1.2), two
+    # 50M-row dim-128 item/user tables sharded over 16 GPUs -> ~3.1M rows
+    # per device; we give each table a 4.2M-row per-chip shard).
     BATCH = 32 if on_tpu else 4
-    MAX_HIST = 2048 if on_tpu else 64
+    MAX_HIST = 4096 if on_tpu else 64
     LAYERS = 8 if on_tpu else 2
     HIDDEN, HEADS, DH = (1024, 4, 256) if on_tpu else (64, 2, 32)
     CAND = 128 if on_tpu else 8
@@ -81,28 +84,39 @@ def main():
         # fit HBM so remat's extra forward pass is not worth it
         recompute_layer=False,
         item_embedding_dim=EMB_DIM,
+        contextual_embedding_dim=EMB_DIM,
     )
     task_cfg = RankingConfig(
         embedding_configs=(),  # all tables dynamic
         prediction_head_arch=(512, 1) if on_tpu else (16, 1),
         num_tasks=1,
     )
-    table = DynamicEmbeddingTable(
-        DynamicEmbTableOptions(
-            embedding_dim=EMB_DIM,
-            max_capacity=(1 << 22) if on_tpu else (1 << 12),
-            bucket_capacity=128,
-        ),
-        SparseOptimizerArgs(optimizer="rowwise_adagrad", learning_rate=0.01),
-    )
-    sparse = {"item": ShardedDynamicEmbedding(table, mesh=None)}
+    def mk_table():
+        return DynamicEmbeddingTable(
+            DynamicEmbTableOptions(
+                embedding_dim=EMB_DIM,
+                max_capacity=(1 << 22) if on_tpu else (1 << 12),
+                bucket_capacity=128,
+            ),
+            SparseOptimizerArgs(
+                optimizer="rowwise_adagrad", learning_rate=0.01
+            ),
+        )
+
+    # two dynamic tables, matching the reference's item + user tables
+    sparse = {
+        "item": ShardedDynamicEmbedding(mk_table(), mesh=None),
+        "user": ShardedDynamicEmbedding(mk_table(), mesh=None),
+    }
 
     model = RankingGR(hstu_cfg, task_cfg)
     trainer = GRTrainer(model, make_optimizer(1e-3, "adam"), sparse)
 
     batch = random_hstu_batch(
         seed=0, batch_size=BATCH, max_history_len=MAX_HIST,
-        item_vocab=50_000_000, max_num_candidates=CAND, num_tasks=1,
+        item_vocab=50_000_000,
+        contextual_vocabs={"user": 50_000_000},
+        max_num_candidates=CAND, num_tasks=1,
         zipf_a=1.2, token_capacity=-1,
     )
     rng = jax.random.PRNGKey(0)
@@ -119,8 +133,9 @@ def main():
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
 
-    # analytic FLOPs from the preprocessed lengths (item+candidates)
-    item_len = np.asarray(batch.features["item"].lengths)
+    # analytic FLOPs from the preprocessed lengths (item+candidates plus
+    # the 1-token user contextual prefix per sample)
+    item_len = np.asarray(batch.features["item"].lengths) + 1
     flops = hstu_train_flops(
         item_len, HIDDEN, HEADS, DH, LAYERS, causal=True
     )

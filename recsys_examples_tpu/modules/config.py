@@ -68,11 +68,9 @@ class HSTUConfig:
     attn_block_q: int = 128
     attn_block_k: int = 128
     # Run the HSTU layer stack in the attention kernel's block-aligned
-    # jagged layout (one relayout per block instead of per layer).
-    # Off by default: profiled slower than the packed path until the
-    # kernels zero their own tail rows (valid-row masking costs more
-    # than the per-layer relayout it saves).
-    aligned_block: bool = False
+    # jagged layout: one relayout per block instead of per layer; the
+    # kernels zero their own unwritten tail rows.
+    aligned_block: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -81,7 +81,7 @@ def attn_alignment(seq_offsets, packed_total, block_q=DEF_BLOCK_Q,
     kernels (which derive the same layout from seq_offsets)."""
     return _Layout(
         seq_offsets, packed_total, ATTN_ALIGN,
-        tail_pad=max(block_q, block_k),
+        tail_pad=2 * max(block_q, block_k),
     )
 
 
@@ -177,13 +177,41 @@ def _tile_meta(meta_ref, j, B, MAXT, block):
     return meta_ref[bj] + tj * jnp.int32(block), bj, tj
 
 
+def _zero_tail(buf, slot, hbm, sem1, start, TAL, BLK, n_ch):
+    """Zero HBM rows [start, TAL) with clamped BLK-row chunk writes.
+
+    Chunk starts never drop below `start` (the layout's tail padding
+    guarantees TAL - BLK >= start) and overlapping zero-on-zero writes are
+    benign, so a fixed chunk size covers an arbitrary-length tail. Keeps
+    aligned-mode consumers from ever reading uninitialized output rows."""
+    buf[slot] = jnp.zeros_like(buf[slot])
+
+    def body(c, _):
+        raw = start + c * jnp.int32(BLK)
+        st = pl.multiple_of(jnp.minimum(raw, jnp.int32(TAL - BLK)), 32)
+
+        @pl.when(raw < jnp.int32(TAL))
+        def _():
+            d = pltpu.make_async_copy(
+                buf.at[slot], hbm.at[pl.ds(st, BLK)], sem1
+            )
+            d.start()
+            d.wait()
+
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_ch), body, jnp.int32(0), unroll=False
+    )
+
+
 def _fwd_kernel(
     meta_ref,
     q_hbm, k_hbm, v_hbm, rab_hbm,
     o_hbm,
     q_buf, k_buf, v_buf, rab_buf, o_buf, acc_ref,
     sem,
-    *, B, H, D, V, BQ, BK, MAXT, has_rab,
+    *, B, H, D, V, BQ, BK, MAXT, TAL, NZ_CH, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
     quantized=False, v_scale=1.0,
@@ -241,9 +269,29 @@ def _fwd_kernel(
                 rab_buf, sem.at[jnp.int32(6)],
             )
 
-        dk0, dv0 = kv_dma(jnp.int32(0), jnp.int32(0))
-        dk0.start()
-        dv0.start()
+        def kv0_dma(j):
+            """First k/v block of worklist entry j's SEQUENCE (slot 0) —
+            every tile prefetches the next tile's kv0 after its own kv
+            loop, so no tile waits a cold first-block DMA."""
+            bj = meta_ref[4 * B + j]
+            ks = pl.multiple_of(meta_ref[bj], 32)
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[jnp.int32(0)],
+                    sem.at[jnp.int32(2)],
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[jnp.int32(0)],
+                    sem.at[jnp.int32(4)],
+                ),
+            )
+
+        @pl.when(i == 0)
+        def _():
+            a0, b0 = kv0_dma(jnp.int32(0))
+            a0.start()
+            b0.start()
+
         if has_rab:
             r0 = rab_dma(jnp.int32(0))
             r0.start()
@@ -311,6 +359,12 @@ def _fwd_kernel(
 
         jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
 
+        @pl.when(i + 1 < nwork)
+        def _():
+            a1, b1 = kv0_dma(i + 1)
+            a1.start()
+            b1.start()
+
         def o_dma(j, slot):
             sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BQ)
             sj = pl.multiple_of(sj, 32)
@@ -338,6 +392,12 @@ def _fwd_kernel(
         @pl.when(i == nwork - 1)
         def _():
             o_dma(i, p).wait()
+            # zero the tail rows past the final write so aligned-mode
+            # consumers never read uninitialized memory
+            _zero_tail(
+                o_buf, jnp.int32(1) - p, o_hbm, sem.at[jnp.int32(7)],
+                s + jnp.int32(BQ), TAL, BQ, NZ_CH,
+            )
 
 
 def _bwd_dq_kernel(
@@ -346,7 +406,7 @@ def _bwd_dq_kernel(
     dq_hbm, drab_hbm,
     q_buf, do_buf, k_buf, v_buf, rab_buf, drab_buf, dq_buf, acc_ref,
     sem,
-    *, B, H, D, V, BQ, BK, MAXT, has_rab,
+    *, B, H, D, V, BQ, BK, MAXT, TAL, NZ_CH, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
@@ -421,17 +481,37 @@ def _bwd_dq_kernel(
                 sem.at[jnp.int32(9)],
             )
 
-        a0, b0 = kv_dma(jnp.int32(0), jnp.int32(0))
-        a0.start()
-        b0.start()
+        def kv0_dma(j):
+            bj = meta_ref[4 * B + j]
+            ks = pl.multiple_of(meta_ref[bj], 32)
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(ks, BK)], k_buf.at[jnp.int32(0)],
+                    sem.at[jnp.int32(4)],
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(ks, BK)], v_buf.at[jnp.int32(0)],
+                    sem.at[jnp.int32(6)],
+                ),
+            )
+
+        @pl.when(i == 0)
+        def _():
+            a0, b0 = kv0_dma(jnp.int32(0))
+            a0.start()
+            b0.start()
+
         if has_rab:
             rab_rd(jnp.int32(0)).start()
         acc_ref[:] = jnp.zeros_like(acc_ref)
         d1, d2 = in_dma(i, p)
         d1.wait()
         d2.wait()
-        qf = q_buf[p].astype(jnp.float32)
-        dof = do_buf[p].astype(jnp.float32)
+        # tiles stay in their storage dtype (bf16) for every MXU dot —
+        # f32 x f32 matmuls run at a fraction of the bf16 MXU rate; only
+        # the elementwise score math is f32
+        qf = q_buf[p]
+        dof = do_buf[p]
         row_pos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
 
         def body(kj, _):
@@ -456,8 +536,8 @@ def _bwd_dq_kernel(
                 target_group_size=target_group_size, max_attn_len=max_attn_len,
                 min_full_attn_seq_len=min_full_attn_seq_len,
             )
-            kf = k_buf[slot].astype(jnp.float32)
-            vf = v_buf[slot].astype(jnp.float32)
+            kf = k_buf[slot]
+            vf = v_buf[slot]
             for h in range(H):
                 hd = slice(h * D, (h + 1) * D)
                 hv = slice(h * V, (h + 1) * V)
@@ -465,21 +545,21 @@ def _bwd_dq_kernel(
                     qf[:, hd], kf[:, hd],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * alpha
+                ).astype(jnp.float32) * alpha
                 if has_rab:
                     sc = sc + rab_tile[h]
                 dp = jax.lax.dot_general(
                     dof[:, hv], vf[:, hv],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                ).astype(jnp.float32)
                 # d(arg)/d(rab) = 1, d(arg)/d(q k) chain has the extra alpha
                 ds_rab = dp * _dsilu_f32(sc) * inv_scaling * mask
                 ds = ds_rab * alpha
                 if has_rab:
                     drab_buf[h] = ds_rab.astype(drab_buf.dtype)
                 acc_ref[:, hd] += jax.lax.dot_general(
-                    ds, kf[:, hd],
+                    ds.astype(kf.dtype), kf[:, hd],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -496,6 +576,12 @@ def _bwd_dq_kernel(
         jax.lax.fori_loop(jnp.int32(0), num_kb, body, jnp.int32(0), unroll=False)
         # drab tiles this strip never visited stay zero via the pre-zeroed
         # aliased output (io_alias in _hstu_bwd_impl) — no zero-fill loop.
+
+        @pl.when(i + 1 < nwork)
+        def _():
+            a1, b1 = kv0_dma(i + 1)
+            a1.start()
+            b1.start()
 
         def dq_dma(j, slot):
             sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BQ)
@@ -518,6 +604,10 @@ def _bwd_dq_kernel(
         @pl.when(i == nwork - 1)
         def _():
             dq_dma(i, p).wait()
+            _zero_tail(
+                dq_buf, jnp.int32(1) - p, dq_hbm, sem.at[jnp.int32(10)],
+                s + jnp.int32(BQ), TAL, BQ, NZ_CH,
+            )
 
 
 
@@ -527,7 +617,7 @@ def _bwd_dkv_kernel(
     dk_hbm, dv_hbm,
     k_buf, v_buf, q_buf, do_buf, rab_buf, dk_buf, dv_buf, acck_ref, accv_ref,
     sem,
-    *, B, H, D, V, BQ, BK, MAXT, has_rab,
+    *, B, H, D, V, BQ, BK, MAXT, TAL, NZ_CH, has_rab,
     alpha, inv_scaling, causal, has_context, has_targets,
     target_group_size, max_attn_len, min_full_attn_seq_len,
 ):
@@ -574,13 +664,27 @@ def _bwd_dkv_kernel(
             a.start()
             bb.start()
 
-        # first q tile that can see this k tile (causal skip); contextual
-        # rows live in the first tiles and see everything, so start at 0.
-        if causal and not has_context:
-            q_start_blk = k_lo // jnp.int32(BQ)
+        # q strips this k tile must see: the causal range [k_lo//BQ, ...)
+        # plus — when the batch has contextual rows — strip 0 (contextual
+        # rows sit in the first strip and attend everywhere). Visiting
+        # {0} + causal range instead of everything from 0 halves the work
+        # for long sequences.
+        if causal:
+            q_base_blk = k_lo // jnp.int32(BQ)
         else:
-            q_start_blk = jnp.int32(0)
+            q_base_blk = jnp.int32(0)
         num_qb = _cdiv(n, BQ)
+        if causal and has_context:
+            extra0 = jnp.where(q_base_blk > 0, jnp.int32(1), jnp.int32(0))
+        else:
+            extra0 = jnp.int32(0)
+
+        def strip_of(idx):
+            """idx -> q strip index (strip 0 first when extra0)."""
+            return jnp.where(
+                idx < extra0, jnp.int32(0), q_base_blk + idx - extra0
+            )
+        q_start_blk = strip_of(jnp.int32(0))
 
         def q_dma(slot, qj):
             qs = pl.multiple_of(off + qj * jnp.int32(BQ), 32)
@@ -601,9 +705,33 @@ def _bwd_dkv_kernel(
                 rab_buf, sem.at[jnp.int32(8)],
             )
 
-        a0, b0 = q_dma(jnp.int32(0), q_start_blk)
-        a0.start()
-        b0.start()
+        def q0_dma(j):
+            """First q/do strip of worklist entry j (slot 0) — prefetched
+            by the previous grid step, mirroring kv0_dma in the forward."""
+            sj, bj, tj = _tile_meta(meta_ref, j, B, MAXT, BK)
+            offj = meta_ref[bj]
+            if causal and not has_context:
+                qsb = (tj * jnp.int32(BK)) // jnp.int32(BQ)
+            else:
+                qsb = jnp.int32(0)
+            qs = pl.multiple_of(offj + qsb * jnp.int32(BQ), 32)
+            return (
+                pltpu.make_async_copy(
+                    q_hbm.at[pl.ds(qs, BQ)], q_buf.at[jnp.int32(0)],
+                    sem.at[jnp.int32(4)],
+                ),
+                pltpu.make_async_copy(
+                    do_hbm.at[pl.ds(qs, BQ)], do_buf.at[jnp.int32(0)],
+                    sem.at[jnp.int32(6)],
+                ),
+            )
+
+        @pl.when(i == 0)
+        def _():
+            a0, b0 = q0_dma(jnp.int32(0))
+            a0.start()
+            b0.start()
+
         if has_rab:
             rab_rd(q_start_blk).start()
         acck_ref[:] = jnp.zeros_like(acck_ref)
@@ -611,17 +739,20 @@ def _bwd_dkv_kernel(
         d1, d2 = in_dma(i, p)
         d1.wait()
         d2.wait()
-        kf = k_buf[p].astype(jnp.float32)
-        vf = v_buf[p].astype(jnp.float32)
+        # bf16 tiles for the MXU; f32 elementwise only (see dq kernel)
+        kf = k_buf[p]
+        vf = v_buf[p]
         col_pos = k_lo + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
 
+        nsteps = (num_qb - q_base_blk + extra0).astype(jnp.int32)
+
         def body(idx, _):
-            qj = q_start_blk + idx
+            qj = strip_of(idx)
             slot = jax.lax.rem(idx, jnp.asarray(2, idx.dtype))
 
-            @pl.when(qj + 1 < num_qb)
+            @pl.when(idx + 1 < nsteps)
             def _():
-                a, bb = q_dma(jax.lax.rem(idx + 1, jnp.asarray(2, (idx + 1).dtype)), qj + 1)
+                a, bb = q_dma(jax.lax.rem(idx + 1, jnp.asarray(2, (idx + 1).dtype)), strip_of(idx + 1))
                 a.start()
                 bb.start()
 
@@ -638,8 +769,8 @@ def _bwd_dkv_kernel(
                 target_group_size=target_group_size, max_attn_len=max_attn_len,
                 min_full_attn_seq_len=min_full_attn_seq_len,
             )
-            qf = q_buf[slot].astype(jnp.float32)
-            dof = do_buf[slot].astype(jnp.float32)
+            qf = q_buf[slot]
+            dof = do_buf[slot]
             for h in range(H):
                 hd = slice(h * D, (h + 1) * D)
                 hv = slice(h * V, (h + 1) * V)
@@ -647,12 +778,12 @@ def _bwd_dkv_kernel(
                     qf[:, hd], kf[:, hd],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * alpha
+                ).astype(jnp.float32) * alpha
                 if has_rab:
                     sc = sc + rab_tile[h]
                 p = _silu_f32(sc) * inv_scaling * mask
                 accv_ref[:, hv] += jax.lax.dot_general(
-                    p, dof[:, hv],
+                    p.astype(dof.dtype), dof[:, hv],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -660,20 +791,26 @@ def _bwd_dkv_kernel(
                     dof[:, hv], vf[:, hv],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                ).astype(jnp.float32)
                 ds = dp * _dsilu_f32(sc) * (inv_scaling * alpha) * mask
                 acck_ref[:, hd] += jax.lax.dot_general(
-                    ds, qf[:, hd],
+                    ds.astype(qf.dtype), qf[:, hd],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             if has_rab:
-                @pl.when(qj + 1 < num_qb)
+                @pl.when(idx + 1 < nsteps)
                 def _():
-                    rab_rd(qj + 1).start()
+                    rab_rd(strip_of(idx + 1)).start()
             return jnp.int32(0)
 
-        jax.lax.fori_loop(jnp.int32(0), (num_qb - q_start_blk).astype(jnp.int32), body, jnp.int32(0), unroll=False)
+        jax.lax.fori_loop(jnp.int32(0), nsteps, body, jnp.int32(0), unroll=False)
+
+        @pl.when(i + 1 < nwork)
+        def _():
+            a1, b1 = q0_dma(i + 1)
+            a1.start()
+            b1.start()
 
         def out_dma(j, slot):
             sj, _, _ = _tile_meta(meta_ref, j, B, MAXT, BK)
@@ -709,6 +846,14 @@ def _bwd_dkv_kernel(
             w1l, w2l = out_dma(i, p)
             w1l.wait()
             w2l.wait()
+            _zero_tail(
+                dk_buf, jnp.int32(1) - p, dk_hbm, sem.at[jnp.int32(9)],
+                s + jnp.int32(BK), TAL, BK, NZ_CH,
+            )
+            _zero_tail(
+                dv_buf, jnp.int32(1) - p, dv_hbm, sem.at[jnp.int32(11)],
+                s + jnp.int32(BK), TAL, BK, NZ_CH,
+            )
 
 
 # ------------------------------------------------------------------ wrapper
@@ -731,7 +876,8 @@ class _Layout:
         self.T = T
         self.align = align
         B = seq_offsets.shape[0] - 1
-        self.T_al = T + B * align + tail_pad
+        # rounded to 32 so clamped tail-zero DMA chunks stay aligned
+        self.T_al = -(-(T + B * align + tail_pad) // 32) * 32
         lengths = (seq_offsets[1:] - seq_offsets[:-1]).astype(jnp.int32)
         self.lengths = lengths
         aligned_len = ((lengths + align - 1) // align) * align
@@ -889,7 +1035,7 @@ def _hstu_fwd_impl(
     NQ = pl.cdiv(max_seqlen, BQ)
     NK = pl.cdiv(max_seqlen, BK)
     T = packed_total if input_aligned else Tin
-    lay = _Layout(seq_offsets, T, ATTN_ALIGN, tail_pad=max(BQ, BK))
+    lay = _Layout(seq_offsets, T, ATTN_ALIGN, tail_pad=2 * max(BQ, BK))
     MAXT = lay.num_tiles(BQ)
     meta = lay.meta(num_contextuals, num_targets, BQ, MAXT)
     if input_aligned:
@@ -903,9 +1049,11 @@ def _hstu_fwd_impl(
         va = lay.to_aligned(_pad_head_dim(v, T, H, V0, V))
     has_rab = rab is not None
 
+    NZ_CH = -(-(B * ATTN_ALIGN + 2 * max(BQ, BK) + 32) // BQ) + 1
     kernel = functools.partial(
         _fwd_kernel,
-        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK, MAXT=MAXT, has_rab=has_rab,
+        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK, MAXT=MAXT,
+        TAL=lay.T_al, NZ_CH=NZ_CH, has_rab=has_rab,
         quantized=quantized, v_scale=v_scale,
         alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
         causal=causal,
@@ -961,10 +1109,7 @@ def _hstu_fwd_impl(
         interpret=interpret,
     )(*ins)
     if input_aligned:
-        # zero rows the kernel never writes (inter-sequence + tail pad):
-        # their junk would otherwise leak into downstream weight grads
-        valid = lay.valid_rows
-        out = jnp.where(valid[:, None], out, jnp.zeros((), out.dtype))
+        # rows the tiles never write are zeroed in-kernel (_zero_tail)
         res = _unpad_head_dim(out, lay.T_al, H, V0, V)
     else:
         res = _unpad_head_dim(lay.to_packed(out), T, H, V0, V)
@@ -991,7 +1136,7 @@ def _hstu_bwd_impl(
         scaling_seqlen = max_seqlen
     BQ, BK = block_q, block_k
     T = packed_total if input_aligned else Tin
-    lay = _Layout(seq_offsets, T, ATTN_ALIGN, tail_pad=max(BQ, BK))
+    lay = _Layout(seq_offsets, T, ATTN_ALIGN, tail_pad=2 * max(BQ, BK))
     MAXT_Q = lay.num_tiles(BQ)
     MAXT_K = lay.num_tiles(BK)
     meta_q = lay.meta(num_contextuals, num_targets, BQ, MAXT_Q)
@@ -1017,7 +1162,7 @@ def _hstu_bwd_impl(
     NQ = pl.cdiv(max_seqlen, BQ)
     NK = pl.cdiv(max_seqlen, BK)
     common = dict(
-        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK,
+        B=B, H=H, D=D, V=V, BQ=BQ, BK=BK, TAL=lay.T_al,
         alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
         causal=causal,
         has_context=num_contextuals is not None,
@@ -1032,7 +1177,9 @@ def _hstu_bwd_impl(
 
     # ---- dq (+ drab)
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, MAXT=MAXT_Q, has_rab=has_rab, **common
+        _bwd_dq_kernel, MAXT=MAXT_Q, has_rab=has_rab,
+        NZ_CH=-(-(B * ATTN_ALIGN + 2 * max(BQ, BK) + 32) // BQ) + 1,
+        **common
     )
     ins = [meta_q, qa, ka, va, ga]
     scratch = [
@@ -1117,15 +1264,15 @@ def _hstu_bwd_impl(
     else:
         dq, drab = res, None
     if input_aligned:
-        valid3 = lay.valid_rows[:, None]
-        dq = jnp.where(valid3, dq, jnp.zeros((), dq.dtype))
         dq = _unpad_head_dim(dq, lay.T_al, H, D0, D)
     else:
         dq = _unpad_head_dim(lay.to_packed(dq), T, H, D0, D)
 
     # ---- dk/dv
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, MAXT=MAXT_K, has_rab=has_rab, **common
+        _bwd_dkv_kernel, MAXT=MAXT_K, has_rab=has_rab,
+        NZ_CH=-(-(B * ATTN_ALIGN + 2 * max(BQ, BK) + 32) // BK) + 1,
+        **common
     )
     ins = [meta_k, qa, ka, va, ga]
     scratch = [
@@ -1176,9 +1323,6 @@ def _hstu_bwd_impl(
         interpret=interpret,
     )(*ins)
     if input_aligned:
-        valid3 = lay.valid_rows[:, None]
-        dk = jnp.where(valid3, dk, jnp.zeros((), dk.dtype))
-        dv = jnp.where(valid3, dv, jnp.zeros((), dv.dtype))
         dk = _unpad_head_dim(dk, lay.T_al, H, D0, D)
         dv = _unpad_head_dim(dv, lay.T_al, H, V0, V)
     else:
