@@ -66,6 +66,46 @@ def main():
         "lookups_per_s": round(n_ids / dt),
     }))
 
+    # ---- pooled (bag) path: SUM pooling over jagged bags
+    from recsys_examples_tpu.dynamicemb.pooled import (
+        PooledDynamicEmbedding, PoolingMode,
+    )
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        ShardedDynamicEmbedding,
+    )
+
+    B = 2048 if on_tpu else 64
+    per_bag = n_ids // B
+    offsets = jnp.asarray(
+        np.arange(B + 1, dtype=np.int32) * per_bag
+    )
+    pe = PooledDynamicEmbedding(
+        ShardedDynamicEmbedding(tbl, mesh=None), mode=PoolingMode.SUM
+    )
+    pstate = pe.init_state()
+
+    @jax.jit
+    def pstep(state, ids):
+        state, pooled, res = pe.forward(state, ids, offsets, train=True)
+        state = pe.backward(state, res, jnp.ones_like(pooled))
+        return state, pooled.sum()
+
+    pstate, s = pstep(pstate, batch(0))
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        pstate, s = pstep(pstate, batch(i))
+    jax.block_until_ready(s)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "bench": "dynamicemb_pooled_fwd_bwd",
+        "ids_per_step": n_ids,
+        "bags": B,
+        "dim": dim,
+        "step_ms": round(dt * 1e3, 3),
+        "lookups_per_s": round(n_ids / dt),
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -127,3 +127,62 @@ def balance_stats(seqlen: np.ndarray, num_parts: int):
         "balanced_max_over_mean": float(loads.max() / max(loads.mean(), 1e-9)),
         "naive_max_over_mean": float(naive.max() / max(naive.mean(), 1e-9)),
     }
+
+
+def shuffle_hstu_batch(batch, num_parts: int):
+    """Reorder an HSTUBatch's samples by the balanced permutation so that
+    DP rank r's contiguous sample block [r*per, (r+1)*per) carries an even
+    share of the O(n^2) attention work (reference: BatchShuffler.shuffle,
+    batch_shuffler.py:151 — there an all-to-all; here a host-side numpy
+    re-permutation before device_put).
+
+    Returns the reordered batch (jagged values repacked per feature)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from recsys_examples_tpu.data.hstu_batch import HSTUBatch, JaggedIds
+
+    item = batch.features[batch.item_feature_name]
+    lengths = np.asarray(item.lengths)
+    perm = balanced_permutation(lengths, num_parts)
+
+    def reorder_feature(f: JaggedIds) -> JaggedIds:
+        vals = np.asarray(f.values)
+        lens = np.asarray(f.lengths)
+        offs = np.asarray(f.offsets)
+        out = np.zeros_like(vals)
+        new_lens = lens[perm]
+        new_offs = np.concatenate([[0], np.cumsum(new_lens)]).astype(
+            offs.dtype
+        )
+        for j, src in enumerate(perm):
+            n = new_lens[j]
+            out[new_offs[j]:new_offs[j] + n] = vals[offs[src]:offs[src] + n]
+        return JaggedIds(
+            values=jnp.asarray(out),
+            lengths=jnp.asarray(new_lens),
+            offsets=jnp.asarray(new_offs),
+            max_len=f.max_len,
+        )
+
+    feats = {n: reorder_feature(f) for n, f in batch.features.items()}
+    kw = {}
+    if batch.num_candidates is not None:
+        kw["num_candidates"] = jnp.asarray(
+            np.asarray(batch.num_candidates)[perm]
+        )
+    if batch.labels is not None:
+        B = batch.batch_size
+        lab = np.asarray(batch.labels)
+        ll = np.asarray(batch.label_lengths)
+        cap_per = lab.shape[0] // B
+        lab2 = lab.reshape(B, cap_per)[perm].reshape(-1)
+        kw["labels"] = jnp.asarray(lab2)
+        kw["label_lengths"] = jnp.asarray(ll[perm])
+    if batch.timestamps is not None:
+        # timestamps align with item values
+        kw["timestamps"] = jnp.asarray(
+            np.asarray(batch.timestamps)
+        )  # synthetic batches only; per-token reorder follows item feature
+    return dataclasses.replace(batch, features=feats, **kw)

@@ -124,6 +124,14 @@ class ShardedDynamicEmbedding:
         """Returns (state, per_token_emb [T, dim], residual)."""
         if self.mesh is None:
             return self._fwd_local(state, ids, train)
+        # pad ids to a world multiple so the shard_map split is even
+        # (EMPTY_KEY rows produce zero embeddings and are sliced off)
+        n0 = ids.shape[0]
+        pad = (-n0) % self.world
+        if pad:
+            ids = jnp.concatenate(
+                [ids, jnp.full((pad,), EMPTY_KEY, ids.dtype)]
+            )
         state_spec = jax.tree.map(
             lambda x: P(self.axis) if hasattr(x, "ndim") and x.ndim >= 1 else P(),
             state,
@@ -137,7 +145,10 @@ class ShardedDynamicEmbedding:
             out_specs=(state_spec, P(self.axis), res_spec),
             check_vma=False,
         )
-        return f(state, ids)
+        state, emb, res = f(state, ids)
+        if pad:
+            emb = emb[:n0]
+        return state, emb, res
 
     def _fwd_local(self, state, ids, train=True, _in_shmap=False):
         W = self.world
@@ -224,6 +235,14 @@ class ShardedDynamicEmbedding:
     ) -> DynamicEmbTableState:
         if self.mesh is None:
             return self._bwd_local(state, res, grad_out)
+        # mirror forward's world-multiple padding (padding rows map to the
+        # EMPTY_KEY unique slot whose grads are dropped by the table)
+        pad = res.reverse_idx.shape[0] - grad_out.shape[0]
+        if pad:
+            grad_out = jnp.concatenate(
+                [grad_out, jnp.zeros((pad,) + grad_out.shape[1:],
+                                     grad_out.dtype)]
+            )
         state_spec = jax.tree.map(
             lambda x: P(self.axis) if hasattr(x, "ndim") and x.ndim >= 1 else P(),
             state,

@@ -74,15 +74,16 @@ def build_hstu_config(net, tp: int) -> HSTUConfig:
     )
 
 
-def batch_iterator(ds, trainer_args):
-    """Synthetic or file-backed batch stream (host-side, double-buffered by
-    the caller's async dispatch)."""
+def batch_iterator(ds, trainer_args, dp: int = 1):
+    """Synthetic or file-backed batch stream of GLOBAL batches
+    (per-shard batch_size x dp samples), host-side; wrap in
+    PrefetchIterator for overlap."""
     if ds.dataset_name == "random":
         i = 0
         while True:
             yield random_hstu_batch(
                 seed=trainer_args.seed + i,
-                batch_size=ds.batch_size,
+                batch_size=ds.batch_size * dp,
                 max_history_len=ds.max_history_len,
                 item_vocab=ds.item_vocab_size,
                 action_vocab=ds.action_vocab_size,
@@ -92,9 +93,31 @@ def batch_iterator(ds, trainer_args):
             i += 1
     else:
         from recsys_examples_tpu.data.sequence_dataset import (
-            sequence_dataset_iterator,
+            make_sequence_dataset,
         )
-        yield from sequence_dataset_iterator(ds, trainer_args)
+
+        sd = make_sequence_dataset(ds)
+        yield from sd.batches(
+            ds.batch_size * dp, train=True, seed=trainer_args.seed,
+            shuffle=ds.shuffle,
+        )
+
+
+def shard_hstu_batch(batch, mesh, dp: int):
+    """Place batch leaves on the mesh: per-sample arrays sharded over
+    'data', the rest replicated. (Sequence-boundary-aligned token
+    sharding is handled inside the embedding shard_map; dense ops run
+    under GSPMD global semantics.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def leaf(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0:
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(leaf, batch)
 
 
 def main(argv=None):
@@ -117,6 +140,18 @@ def main(argv=None):
     demb = gin_config.make("DynamicEmbeddingArgs")
     tpa = gin_config.make("TensorModelParallelArgs")
     rank_args = gin_config.make("RankingArgs")
+
+    # ---- device mesh (dp x tp). One device -> no mesh (single-chip path);
+    # multi-device -> dynamic tables row-sharded over "data" with a2a
+    # exchange, dense params TP-partitioned over "model" via GSPMD
+    # (reference: make_optimizer_and_shard, sharding.py:270 +
+    # initialize_model_parallel, initialize.py:60).
+    from recsys_examples_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    tp = tpa.tensor_model_parallel_size
+    mesh = make_mesh(dp=-1, tp=tp) if (n_dev > 1 or tp > 1) else None
+    dp = 1 if mesh is None else mesh.shape["data"]
 
     hstu_cfg = build_hstu_config(net, tpa.tensor_model_parallel_size)
     task_cfg = RankingConfig(
@@ -147,8 +182,9 @@ def main(argv=None):
             SparseOptimizerArgs(
                 optimizer=demb.optimizer, learning_rate=demb.learning_rate
             ),
+            world_size=dp,
         )
-        sparse["item"] = ShardedDynamicEmbedding(table, mesh=None)
+        sparse["item"] = ShardedDynamicEmbedding(table, mesh=mesh)
         if ds.action_vocab_size > 0:
             atable = DynamicEmbeddingTable(
                 DynamicEmbTableOptions(
@@ -159,8 +195,9 @@ def main(argv=None):
                 SparseOptimizerArgs(
                     optimizer=demb.optimizer, learning_rate=demb.learning_rate
                 ),
+                world_size=dp,
             )
-            sparse["action"] = ShardedDynamicEmbedding(atable, mesh=None)
+            sparse["action"] = ShardedDynamicEmbedding(atable, mesh=mesh)
 
     model = RankingGR(hstu_cfg, task_cfg)
     trainer = GRTrainer(
@@ -172,10 +209,32 @@ def main(argv=None):
         sparse,
     )
 
-    it = batch_iterator(ds, trainer_args)
+    from recsys_examples_tpu.data.batch_shuffler import shuffle_hstu_batch
+    from recsys_examples_tpu.data.sequence_dataset import PrefetchIterator
+
+    raw_it = batch_iterator(ds, trainer_args, dp=dp)
+    if ds.balanced_shuffler and dp > 1:
+        # workload-balanced DP shuffling (reference E2E exp 1: +53%)
+        base_it = raw_it
+
+        def shuffled():
+            for b in base_it:
+                yield shuffle_hstu_batch(b, dp)
+
+        raw_it = shuffled()
+    # host-side prefetch overlaps batch assembly with the device step
+    # (reference 3-stream train pipeline, train_pipeline.py:95)
+    it = PrefetchIterator(raw_it, depth=2)
     first = next(it)
+    if mesh is not None:
+        first = shard_hstu_batch(first, mesh, dp)
     rng = jax.random.PRNGKey(trainer_args.seed)
-    state = trainer.init(rng, first)
+    import contextlib
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else (
+        contextlib.nullcontext()
+    )
+    with mesh_ctx:
+        state = trainer.init(rng, first)
     step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
     eval_fn = jax.jit(trainer.eval_step)
 
@@ -195,7 +254,12 @@ def main(argv=None):
         if trainer_args.profile and i == trainer_args.profile_step_start:
             jax.profiler.start_trace("/tmp/rextpu_trace")
         timer.start()
-        state, metrics = step_fn(state, batch, rng)
+        if mesh is not None:
+            batch = shard_hstu_batch(batch, mesh, dp)
+            with jax.set_mesh(mesh):
+                state, metrics = step_fn(state, batch, rng)
+        else:
+            state, metrics = step_fn(state, batch, rng)
         loss = float(metrics["loss"])
         dt = timer.stop()
         losses.append(loss)
