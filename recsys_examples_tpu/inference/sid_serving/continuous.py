@@ -1,0 +1,420 @@
+"""True continuous batching for SID-GR serving.
+
+Counterpart of the reference continuous scheduler + memory pools
+(examples/sid-gr-inference/src/gr_inference/gr_serving/continuous.py:379-577
+`tick`/`_admit_prefill_batch`/`_plan_decode_batches`/`_advance_decode_batches`,
+memory.py:626,745 dense ContextKV/BeamKV pools with leases, high-water
+marks and leak checks; gr_scheduler/beam_policy.py:126 scheduled /
+score-margin beam policies).
+
+TPU design:
+  - Per-request decode state (context KV, beam KV, beam-search arrays,
+    hierarchy step) lives in per-ctx-bucket DEVICE pools; a request leases
+    one slot at admission and releases it at completion.
+  - Every `tick()` (1) advances EVERY in-flight request one hierarchy
+    step — requests grouped by (step, ctx bucket) so each group replays
+    one compiled executable — and (2) admits queued prefills under the
+    slot-lease + token budget. A long-context request therefore never
+    blocks a short one: both proceed one step per tick.
+  - `BeamPolicy.width_for(h)` really selects the compiled beam width of
+    step h's executable (non-increasing schedules; beam KV compacted on
+    narrowing — beam_kv_compaction analogue); score_margin prunes LIVE
+    beams by setting trailing scores to -inf inside the step.
+  - The last pool slot is a scratch slot: groups are padded to the batch
+    bucket and pad lanes scatter their results there.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+import uuid
+from collections import defaultdict, deque
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_examples_tpu.data.sid_batch import SIDBatch
+from recsys_examples_tpu.inference.sid_serving.engine import (
+    ServingConfig,
+    _bucket,
+)
+from recsys_examples_tpu.inference.sid_serving.scheduler import (
+    BeamPolicy,
+    GRServingRequest,
+)
+from recsys_examples_tpu.models.sid_gr import SIDGRModel
+
+# carry key -> axis of the pool-slot dimension
+_SLOT_AXIS = {
+    "scores": 0, "tokens": 0, "parents": 0, "anc": 0, "kv_parents": 0,
+    "ctx_lens": 0, "ctx_k": 1, "ctx_v": 1, "beam_k": 1, "beam_v": 1,
+}
+
+
+def _gather(pool: dict, idx: jax.Array) -> dict:
+    return {
+        k: jnp.take(v, idx, axis=_SLOT_AXIS[k]) for k, v in pool.items()
+    }
+
+
+def _scatter(pool: dict, idx: jax.Array, rows: dict) -> dict:
+    out = {}
+    for k, v in pool.items():
+        ax = _SLOT_AXIS[k]
+        if ax == 0:
+            out[k] = v.at[idx].set(rows[k])
+        else:
+            out[k] = v.at[:, idx].set(
+                jnp.moveaxis(rows[k], ax, 1) if ax != 1 else rows[k]
+            )
+    return out
+
+
+class DecodePool:
+    """Device-resident decode-state pool for one context bucket, with
+    slot leases, high-water mark and leak checking (reference:
+    gr_serving/memory.py pools/leases)."""
+
+    def __init__(self, slots: int):
+        self.slots = slots          # includes 1 scratch slot (last)
+        self.free = list(range(slots - 1))
+        self.leased: set = set()
+        self.high_water = 0
+        self.arrays: Optional[dict] = None   # lazily shaped at first prefill
+
+    @property
+    def scratch_slot(self) -> int:
+        return self.slots - 1
+
+    def lease(self) -> Optional[int]:
+        if not self.free:
+            return None
+        s = self.free.pop()
+        self.leased.add(s)
+        self.high_water = max(self.high_water, len(self.leased))
+        return s
+
+    def release(self, slot: int):
+        assert slot in self.leased, f"double release of slot {slot}"
+        self.leased.remove(slot)
+        self.free.append(slot)
+
+    def check_leaks(self) -> bool:
+        return len(self.free) + len(self.leased) == self.slots - 1
+
+
+@dataclasses.dataclass
+class _InFlight:
+    req: GRServingRequest
+    bucket: int
+    slot: int
+    step: int  # next hierarchy to decode (1..H-1); H => finalize
+
+
+class ContinuousGRScheduler:
+    """submit/tick/run_until_empty with interleaved prefill + stepwise
+    decode over pooled state."""
+
+    def __init__(
+        self,
+        model: SIDGRModel,
+        params,
+        cfg: ServingConfig,
+        max_batch: int = 8,
+        pool_slots: int = 17,
+        request_timeout_s: float = 30.0,
+        beam_policy: Optional[BeamPolicy] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.request_timeout_s = request_timeout_s
+        self.policy = beam_policy or BeamPolicy(width=cfg.beam_width)
+        H = model.config.num_hierarchies
+        # non-increasing effective width schedule (beam KV only compacts
+        # downward); W[h] = width of the survivors of step h
+        w = [self.policy.width_for(h) for h in range(H)]
+        for h in range(1, H):
+            w[h] = min(w[h], w[h - 1])
+        self.widths = w
+        self.width_pad = w[0]
+
+        self.queue: deque[GRServingRequest] = deque()
+        self.inflight: List[_InFlight] = []
+        self.finished: Dict[str, GRServingRequest] = {}
+        self.pools: Dict[int, DecodePool] = {
+            n: DecodePool(pool_slots) for n in cfg.ctx_buckets
+        }
+        self.metrics = defaultdict(float)
+        self._fns: dict = {}
+        self.compile_count = 0
+
+    # ------------------------------------------------------------ jit fns
+    def _prefill_fn(self, Bb: int, N: int):
+        key = ("prefill", Bb, N)
+        if key not in self._fns:
+            W0 = self.widths[0]
+            Wm = self.width_pad
+
+            def f(params, batch):
+                return self.model.apply(
+                    {"params": params}, batch, beam_width=W0, width_pad=Wm,
+                    method=SIDGRModel.beam_prefill,
+                )
+
+            self._fns[key] = jax.jit(f)
+            self.compile_count += 1
+        return self._fns[key]
+
+    def _scatter_fn(self, Bb: int, N: int):
+        key = ("scatter", Bb, N)
+        if key not in self._fns:
+            def f(pool, idx, rows):
+                return _scatter(pool, idx, rows)
+
+            self._fns[key] = jax.jit(f, donate_argnums=(0,))
+            self.compile_count += 1
+        return self._fns[key]
+
+    def _step_fn(self, h: int, Bb: int, N: int):
+        key = ("step", h, Bb, N)
+        if key not in self._fns:
+            W_in = self.widths[h - 1]
+            W_out = self.widths[h]
+            margin = (
+                self.policy.margin
+                if self.policy.kind == "score_margin" else None
+            )
+
+            def f(params, pool, idx):
+                rows = _gather(pool, idx)
+                rows = self.model.apply(
+                    {"params": params}, rows, h, W_in, W_out,
+                    method=SIDGRModel.beam_step,
+                )
+                if margin is not None:
+                    # prune LIVE beams: anything trailing the best by more
+                    # than `margin` stops competing in later steps
+                    sc = rows["scores"]
+                    best = jnp.max(sc, axis=1, keepdims=True)
+                    rows["scores"] = jnp.where(
+                        sc >= best - margin, sc, -jnp.inf
+                    )
+                return _scatter(pool, idx, rows)
+
+            self._fns[key] = jax.jit(f, donate_argnums=(1,))
+            self.compile_count += 1
+        return self._fns[key]
+
+    def _finalize_fn(self, Bb: int, N: int):
+        key = ("finalize", Bb, N)
+        if key not in self._fns:
+            Wf = self.widths[-1]
+
+            def f(params, pool, idx):
+                rows = _gather(pool, idx)
+                return self.model.apply(
+                    {"params": params}, rows, Wf,
+                    method=SIDGRModel.beam_finalize,
+                )
+
+            self._fns[key] = jax.jit(f)
+            self.compile_count += 1
+        return self._fns[key]
+
+    # ------------------------------------------------------------ api
+    def submit(self, context: np.ndarray, top_k: int = 10) -> str:
+        req = GRServingRequest(
+            request_id=uuid.uuid4().hex,
+            context=np.asarray(context, np.int32),
+            top_k=top_k,
+            submitted_at=time.time(),
+            deadline_s=self.request_timeout_s,
+        )
+        self.metrics["submitted"] += 1
+        self.queue.append(req)
+        return req.request_id
+
+    # ------------------------------------------------------------ tick
+    def tick(self) -> int:
+        """Advance every in-flight request one hierarchy step, finalize
+        the completed ones, then admit queued prefills into free pool
+        slots. Returns number of requests progressed (steps + admits)."""
+        now = time.time()
+        progressed = 0
+        # expire queued requests
+        alive = deque()
+        for r in self.queue:
+            if now - r.submitted_at > r.deadline_s:
+                r.failed = True
+                r.done = True
+                r.result = {"error": "timeout"}
+                self.finished[r.request_id] = r
+                self.metrics["timeouts"] += 1
+            else:
+                alive.append(r)
+        self.queue = alive
+
+        H = self.model.config.num_hierarchies
+        # ---- advance decode groups, grouped by (step, ctx bucket)
+        groups = defaultdict(list)
+        for fl in self.inflight:
+            groups[(fl.step, fl.bucket)].append(fl)
+        for (h, N), members in sorted(groups.items()):
+            if h >= H:
+                continue
+            pool = self.pools[N]
+            for chunk_start in range(0, len(members), self.max_batch):
+                chunk = members[chunk_start:chunk_start + self.max_batch]
+                Bb = _bucket(len(chunk), self.cfg.batch_buckets)
+                idx = np.full((Bb,), pool.scratch_slot, np.int32)
+                for i, fl in enumerate(chunk):
+                    idx[i] = fl.slot
+                pool.arrays = self._step_fn(h, Bb, N)(
+                    self.params, pool.arrays, jnp.asarray(idx)
+                )
+                for fl in chunk:
+                    fl.step += 1
+                progressed += len(chunk)
+                self.metrics["decode_steps"] += len(chunk)
+
+        # ---- finalize completed
+        done_now = [fl for fl in self.inflight if fl.step >= H]
+        self.inflight = [fl for fl in self.inflight if fl.step < H]
+        by_bucket = defaultdict(list)
+        for fl in done_now:
+            by_bucket[fl.bucket].append(fl)
+        for N, members in by_bucket.items():
+            pool = self.pools[N]
+            for cs in range(0, len(members), self.max_batch):
+                chunk = members[cs:cs + self.max_batch]
+                Bb = _bucket(len(chunk), self.cfg.batch_buckets)
+                idx = np.full((Bb,), pool.scratch_slot, np.int32)
+                for i, fl in enumerate(chunk):
+                    idx[i] = fl.slot
+                paths, scores = self._finalize_fn(Bb, N)(
+                    self.params, pool.arrays, jnp.asarray(idx)
+                )
+                paths = np.asarray(paths)
+                scores = np.asarray(scores)
+                for i, fl in enumerate(chunk):
+                    p_i, s_i = self.policy.filter_results(
+                        paths[i], scores[i]
+                    )
+                    keep = np.isfinite(s_i)
+                    p_i, s_i = p_i[keep], s_i[keep]
+                    k = min(fl.req.top_k, len(s_i))
+                    fl.req.result = {
+                        "sids": p_i[:k].tolist(),
+                        "scores": s_i[:k].tolist(),
+                        "latency_ms":
+                            (time.time() - fl.req.submitted_at) * 1e3,
+                    }
+                    fl.req.done = True
+                    self.finished[fl.req.request_id] = fl.req
+                    pool.release(fl.slot)
+                    self.metrics["completed"] += 1
+
+        # ---- admit prefills (slot leases + token budget), grouped by
+        # ctx bucket
+        admit = defaultdict(list)
+        budget = self.cfg.max_batch_tokens
+        rest = deque()
+        while self.queue:
+            r = self.queue.popleft()
+            N = _bucket(max(len(r.context), 1), self.cfg.ctx_buckets)
+            pool = self.pools[N]
+            if (
+                len(admit[N]) < self.max_batch
+                and budget >= N
+                and len(pool.free) > len(admit[N])
+            ):
+                admit[N].append(r)
+                budget -= N
+            else:
+                rest.append(r)
+        self.queue = rest
+        for N, reqs in admit.items():
+            pool = self.pools[N]
+            Bb = _bucket(len(reqs), self.cfg.batch_buckets)
+            batch = self._make_batch(reqs, Bb, N)
+            carry = self._prefill_fn(Bb, N)(self.params, batch)
+            if pool.arrays is None:
+                pool.arrays = self._init_pool_arrays(carry, N)
+            idx = np.full((Bb,), pool.scratch_slot, np.int32)
+            for i, r in enumerate(reqs):
+                slot = pool.lease()
+                assert slot is not None
+                idx[i] = slot
+                self.inflight.append(
+                    _InFlight(req=r, bucket=N, slot=slot, step=1)
+                )
+            pool.arrays = self._scatter_fn(Bb, N)(
+                pool.arrays, jnp.asarray(idx), carry
+            )
+            progressed += len(reqs)
+            self.metrics["prefills"] += len(reqs)
+        return progressed
+
+    def _make_batch(self, reqs, Bb: int, N: int) -> SIDBatch:
+        H = self.model.config.num_hierarchies
+        cap = Bb * N
+        sids = np.zeros((cap,), np.int32)
+        lens = np.zeros((Bb,), np.int32)
+        pos = 0
+        for i, r in enumerate(reqs):
+            c = r.context
+            n = len(c) - (len(c) % H)
+            n = min(n, N)
+            sids[pos:pos + n] = c[:n]
+            lens[i] = n
+            pos += n
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        return SIDBatch(
+            history_sids=jnp.asarray(sids),
+            history_lengths=jnp.asarray(lens),
+            history_offsets=jnp.asarray(offs),
+            candidate_sids=jnp.zeros((Bb, H), jnp.int32),
+            batch_size=Bb,
+            num_hierarchies=H,
+            max_history_tokens=N,
+        )
+
+    def _init_pool_arrays(self, carry: dict, N: int) -> dict:
+        S = self.pools[N].slots
+        out = {}
+        for k, v in carry.items():
+            ax = _SLOT_AXIS[k]
+            shape = list(v.shape)
+            shape[ax] = S
+            out[k] = jnp.zeros(tuple(shape), v.dtype)
+        return out
+
+    def run_until_empty(self, max_ticks: int = 10_000) -> None:
+        for _ in range(max_ticks):
+            if not self.queue and not self.inflight:
+                return
+            self.tick()
+
+    def get_result(self, request_id: str) -> Optional[dict]:
+        r = self.finished.pop(request_id, None)
+        return r.result if r else None
+
+    def status(self) -> dict:
+        return {
+            "queue_depth": len(self.queue),
+            "inflight": len(self.inflight),
+            "finished": len(self.finished),
+            "compiled": self.compile_count,
+            "pool_high_water": {
+                n: p.high_water for n, p in self.pools.items()
+            },
+            "pool_free": {n: len(p.free) for n, p in self.pools.items()},
+            "pool_leaks": {
+                n: (not p.check_leaks()) for n, p in self.pools.items()
+            },
+            **{k: v for k, v in self.metrics.items()},
+        }

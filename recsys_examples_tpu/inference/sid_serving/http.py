@@ -27,9 +27,17 @@ def create_app(scheduler: GRContinuousScheduler):
 
     tick_task = None
 
+    def _has_work():
+        if scheduler.queue:
+            return True
+        return bool(getattr(scheduler, "inflight", ()))
+
     async def ticker(app):
+        # works with both the batch scheduler (GRContinuousScheduler) and
+        # the stepwise ContinuousGRScheduler (continuous.py) — the latter
+        # must keep ticking while requests are in flight
         while True:
-            if scheduler.queue:
+            if _has_work():
                 await asyncio.get_event_loop().run_in_executor(
                     None, scheduler.tick
                 )

@@ -38,10 +38,13 @@ class GRServingRequest:
 @dataclasses.dataclass(frozen=True)
 class BeamPolicy:
     """Beam-width policy (reference: gr_scheduler/beam_policy.py:126
-    fixed / scheduled / score-margin). On TPU the executable's beam width
-    is static, so score_margin prunes RESULT beams whose accumulated
-    log-prob trails the best by more than `margin` (the reference narrows
-    live beams; same serving-visible effect on returned candidates)."""
+    fixed / scheduled / score-margin).
+
+    In the stepwise continuous scheduler (continuous.py), `scheduled`
+    widths select each hierarchy step's COMPILED beam width (beam KV
+    compacts on narrowing) and `score_margin` prunes LIVE beams by
+    -inf-ing trailing scores inside the step executable. This legacy
+    batch scheduler only applies `filter_results` post-hoc."""
     kind: str = "fixed"            # fixed | scheduled | score_margin
     width: int = 64
     schedule: tuple = ()           # per-hierarchy widths when scheduled

@@ -307,3 +307,194 @@ class SIDGRModel(nn.Module):
             )
             state = propagate(state, logp)
         return decode_paths(state), state.scores
+
+    # -------------------------------------------------- stepwise decode
+    # Split of generate_beam_decode for the continuous serving scheduler
+    # (reference: gr_serving/continuous.py interleaves prefill admission
+    # with per-step decode batches; decode state lives in pooled arrays).
+    def beam_prefill(
+        self, batch: SIDBatch, beam_width: Optional[int] = None,
+        width_pad: Optional[int] = None,
+    ):
+        """Prefill + hierarchy-0 expansion at `beam_width`, padded to
+        `width_pad` slots (extra beams get -inf scores) so pooled decode
+        state has one static width.
+
+        Returns a carry dict:
+          scores [B, Wm], tokens [B, H, Wm], parents [B, H, Wm],
+          ctx_k/ctx_v [L, B, N0, nH, dh], ctx_lens [B],
+          beam_k/beam_v [L, B, H-1, Wm, nH, dh], anc [B, H-1, Wm].
+        """
+        cfg = self.config
+        W = beam_width or cfg.beam_width
+        Wm = width_pad or W
+        assert Wm >= W
+        H = cfg.num_hierarchies
+        B = batch.batch_size
+        L = cfg.num_layers
+        nH, dh = cfg.num_heads, cfg.head_dim
+        hist = self._embed_history(batch)
+        N0 = batch.max_history_tokens + 1
+        base = jagged_to_padded_dense(hist, batch.history_offsets, N0)
+        lens = batch.history_lengths.astype(jnp.int32)
+        bidx = jnp.arange(B)
+        base = base.at[bidx, lens].set(self.bos_token.astype(cfg.dtype))
+        mask = make_padded_causal_mask(lens + 1, N0)
+        hidden, ctx_kv = self.decoder(
+            base, mask=mask, train=False, return_kv=True
+        )
+        hs = hidden[bidx, lens]
+        logp0 = jax.nn.log_softmax(
+            self._head(0)(hs.astype(jnp.float32)), axis=-1
+        )
+        state = init_beam(B, W, H)
+        state = first_expand(state, logp0)
+
+        def pad_w(x, axis):
+            if Wm == W:
+                return x
+            pw = [(0, 0)] * x.ndim
+            pw[axis] = (0, Wm - W)
+            return jnp.pad(x, pw)
+
+        scores = pad_w(state.scores, 1)
+        if Wm > W:
+            scores = scores.at[:, W:].set(-jnp.inf)
+        return {
+            "scores": scores,
+            "tokens": pad_w(state.tokens, 2),
+            "parents": pad_w(state.parents, 2),
+            "ctx_k": jnp.stack([kv[0] for kv in ctx_kv]),
+            "ctx_v": jnp.stack([kv[1] for kv in ctx_kv]),
+            "ctx_lens": lens + 1,
+            "beam_k": jnp.zeros((L, B, H - 1, Wm, nH, dh), cfg.dtype),
+            "beam_v": jnp.zeros((L, B, H - 1, Wm, nH, dh), cfg.dtype),
+            "anc": jnp.zeros((B, H - 1, Wm), jnp.int32),
+            # parent map for the NEXT step's ancestry re-root. Differs
+            # from `parents` (the search tree used by decode_paths) after
+            # a KV compaction, which moves survivor w's KV to slot w.
+            "kv_parents": pad_w(state.parents[:, 0], 1),
+        }
+
+    def beam_step(
+        self, carry, h: int, width_in: int, width_out: int,
+        attn_backend: str = "auto",
+    ):
+        """One hierarchy step h (1..H-1) at beam width `width_in`,
+        narrowing to `width_out` survivors (width schedule must be
+        non-increasing — reference: gr_scheduler/beam_policy.py:126
+        `scheduled`). On width change the beam KV is compacted to
+        survivor order (reference: gr_runtime/beam_kv_compaction.py) so
+        later steps run square at the new width. Carry arrays keep their
+        padded Wm slots; dead slots hold -inf scores."""
+        assert width_out <= width_in, "beam schedule must be non-increasing"
+        cfg = self.config
+        H = cfg.num_hierarchies
+        L = cfg.num_layers
+        Wm = carry["scores"].shape[1]
+        W = width_in
+        B = carry["scores"].shape[0]
+        scores = carry["scores"][:, :W]
+        tokens = carry["tokens"][:, :, :W]
+        parents = carry["parents"][:, :, :W]
+        anc = carry["anc"][:, :, :W]
+        beam_k = carry["beam_k"][:, :, :, :W]
+        beam_v = carry["beam_v"][:, :, :, :W]
+
+        par = carry["kv_parents"][:, :W]
+        A = anc
+        if h > 1:
+            A = A.at[:, : h - 1].set(
+                jnp.take_along_axis(A[:, : h - 1], par[:, None, :], axis=2)
+            )
+        tok = tokens[:, h - 1, :]
+        x = self._book(h - 1)(tok).astype(cfg.dtype)
+        beam_inputs = [
+            BeamAttnInputs(
+                k_ctx=carry["ctx_k"][li], v_ctx=carry["ctx_v"][li],
+                ctx_lens=carry["ctx_lens"],
+                k_beam=beam_k[li][:, : h - 1] if h > 1 else None,
+                v_beam=beam_v[li][:, : h - 1] if h > 1 else None,
+                ancestry=A[:, : h - 1] if h > 1 else None,
+                backend=attn_backend,
+            )
+            for li in range(L)
+        ]
+        hidden, new_kv = self.decoder(x, train=False, beam_attn=beam_inputs)
+        for li in range(L):
+            beam_k = beam_k.at[li, :, h - 1].set(new_kv[li][0])
+            beam_v = beam_v.at[li, :, h - 1].set(new_kv[li][1])
+        A = A.at[:, h - 1].set(
+            jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None], (B, W))
+        )
+        logp = jax.nn.log_softmax(
+            self._head(h)(hidden.astype(jnp.float32)), axis=-1
+        )
+        # propagate with top width_out over (W x C)
+        C = logp.shape[-1]
+        total = scores[:, :, None] + logp
+        top_scores, top_idx = jax.lax.top_k(
+            total.reshape(B, W * C), width_out
+        )
+        parent = (top_idx // C).astype(jnp.int32)
+        token = (top_idx % C).astype(jnp.int32)
+        if width_out < W:
+            pad = W - width_out
+            top_scores = jnp.pad(
+                top_scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+            )
+            parent = jnp.pad(parent, ((0, 0), (0, pad)))
+            token = jnp.pad(token, ((0, 0), (0, pad)))
+        tokens = tokens.at[:, h, :].set(token)
+        parents = parents.at[:, h, :].set(parent)
+        scores = top_scores
+        kv_parents = parent
+
+        if width_out < W:
+            # compact beam KV to survivor order: re-root ancestry through
+            # the surviving parents, gather KV, reset ancestry to
+            # identity. `parents` (the search tree) is untouched —
+            # kv_parents becomes identity instead.
+            A2 = jnp.take_along_axis(A, parent[:, None, :], axis=2)
+            gather = A2[None, :, :, :, None, None]  # [1,B,H-1,W,1,1]
+            beam_k = jnp.take_along_axis(
+                beam_k, jnp.broadcast_to(gather, beam_k.shape), axis=3
+            )
+            beam_v = jnp.take_along_axis(
+                beam_v, jnp.broadcast_to(gather, beam_v.shape), axis=3
+            )
+            A = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[None, None, :],
+                (B, H - 1, W),
+            )
+            kv_parents = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[None, :], (B, W)
+            )
+
+        def unpad_w(dst, src, axis):
+            idx = [slice(None)] * dst.ndim
+            idx[axis] = slice(0, W)
+            return dst.at[tuple(idx)].set(src)
+
+        out = dict(carry)
+        out["scores"] = unpad_w(carry["scores"], scores, 1)
+        out["tokens"] = unpad_w(carry["tokens"], tokens, 2)
+        out["parents"] = unpad_w(carry["parents"], parents, 2)
+        out["anc"] = unpad_w(carry["anc"], A, 2)
+        out["beam_k"] = unpad_w(carry["beam_k"], beam_k, 3)
+        out["beam_v"] = unpad_w(carry["beam_v"], beam_v, 3)
+        out["kv_parents"] = unpad_w(carry["kv_parents"], kv_parents, 1)
+        return out
+
+    def beam_finalize(self, carry, final_width: int):
+        """Walk ancestry to decode full paths (reference:
+        beam_search.py decode_paths). Returns (paths [B, W, H],
+        scores [B, W]) at the final width."""
+        W = final_width
+        state = BeamState(
+            scores=carry["scores"][:, :W],
+            tokens=carry["tokens"][:, :, :W],
+            parents=carry["parents"][:, :, :W],
+            step=jnp.asarray(self.config.num_hierarchies, jnp.int32),
+        )
+        return decode_paths(state), state.scores

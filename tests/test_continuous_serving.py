@@ -1,0 +1,150 @@
+"""Continuous-batching SID serving tests (reference:
+gr_serving/continuous.py + memory.py pools/leases)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recsys_examples_tpu.data.sid_batch import SIDBatch
+from recsys_examples_tpu.inference.sid_serving.continuous import (
+    ContinuousGRScheduler,
+)
+from recsys_examples_tpu.inference.sid_serving.engine import ServingConfig
+from recsys_examples_tpu.inference.sid_serving.scheduler import BeamPolicy
+from recsys_examples_tpu.models.sid_gr import SIDGRConfig, SIDGRModel
+
+H = 4
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = SIDGRConfig(
+        num_hierarchies=H, codebook_size=32, hidden_size=32, num_layers=2,
+        num_heads=2, head_dim=16, ffn_hidden=64, beam_width=8,
+        dtype=jnp.float32,
+    )
+    model = SIDGRModel(cfg)
+    batch = SIDBatch(
+        history_sids=jnp.zeros((32,), jnp.int32),
+        history_lengths=jnp.asarray([8], jnp.int32),
+        history_offsets=jnp.asarray([0, 8], jnp.int32),
+        candidate_sids=jnp.zeros((1, H), jnp.int32),
+        batch_size=1, num_hierarchies=H, max_history_tokens=32,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    return model, params
+
+
+def make_sched(model, params, policy=None, **kw):
+    cfg = ServingConfig(
+        beam_width=8, ctx_buckets=(16, 64), batch_buckets=(1, 2, 4),
+        max_batch_tokens=256,
+    )
+    return ContinuousGRScheduler(
+        model, params, cfg, max_batch=4,
+        beam_policy=policy or BeamPolicy(width=8), **kw,
+    )
+
+
+def ctx(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 32, n * H).astype(np.int32)
+
+
+def test_interleaved_overlap_short_finishes_first(model_and_params):
+    """A short-context request submitted AFTER a long one must overlap it
+    in flight and return first (batch-at-a-time would serialize them)."""
+    model, params = model_and_params
+    s = make_sched(model, params)
+    rid_long = s.submit(ctx(12, 1))       # 48 tokens -> bucket 64
+    s.tick()                              # admits long (prefill)
+    assert s.status()["inflight"] == 1
+    rid_short = s.submit(ctx(2, 2))       # 8 tokens -> bucket 16
+    s.tick()                              # advances long + admits short
+    st = s.status()
+    assert st["inflight"] == 2            # OVERLAP in flight
+    # short was admitted one tick later but decodes the same number of
+    # steps; both requests advance every tick (no head-of-line blocking).
+    order = []
+    for _ in range(10):
+        s.tick()
+        for rid in (rid_long, rid_short):
+            if rid not in order and s.finished.get(rid) is not None:
+                order.append(rid)
+        if len(order) == 2:
+            break
+    assert order[0] == rid_long          # admitted first -> finishes first
+    assert order[1] == rid_short
+    r_long = s.get_result(rid_long)
+    r_short = s.get_result(rid_short)
+    assert len(r_long["sids"]) > 0 and len(r_short["sids"]) > 0
+    # leases all returned
+    assert not any(s.status()["pool_leaks"].values())
+
+
+def test_continuous_matches_whole_generation(model_and_params):
+    model, params = model_and_params
+    s = make_sched(model, params)
+    c = ctx(3, 7)
+    rid = s.submit(c)
+    s.run_until_empty()
+    got = s.get_result(rid)
+
+    ref_paths, ref_scores = model.apply(
+        {"params": params},
+        s._make_batch(
+            [type("R", (), {"context": c})()], 1, 16
+        ),
+        beam_width=8,
+        method=SIDGRModel.generate_beam_decode,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["sids"]), np.asarray(ref_paths)[0][: len(got["sids"])]
+    )
+    np.testing.assert_allclose(
+        got["scores"], np.asarray(ref_scores)[0][: len(got["scores"])],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_scheduled_widths_compile_narrowing(model_and_params):
+    model, params = model_and_params
+    policy = BeamPolicy(kind="scheduled", width=8, schedule=(8, 8, 4, 2))
+    s = make_sched(model, params, policy=policy)
+    assert s.widths == [8, 8, 4, 2]
+    rid = s.submit(ctx(2, 3))
+    s.run_until_empty()
+    got = s.get_result(rid)
+    # final width 2 -> at most 2 results
+    assert 0 < len(got["sids"]) <= 2
+    # widths really drive the compiled executables
+    step_keys = [k for k in s._fns if k[0] == "step"]
+    assert len(step_keys) == H - 1
+
+
+def test_score_margin_prunes_live_beams(model_and_params):
+    model, params = model_and_params
+    policy = BeamPolicy(kind="score_margin", width=8, margin=0.1)
+    s = make_sched(model, params, policy=policy)
+    rid = s.submit(ctx(2, 4))
+    s.run_until_empty()
+    got = s.get_result(rid)
+    # tight margin -> few surviving beams, and all within margin of best
+    sc = np.asarray(got["scores"])
+    assert len(sc) >= 1
+    assert (sc.max() - sc.min()) <= 0.1 + 1e-6
+
+
+def test_pool_high_water_and_budget(model_and_params):
+    model, params = model_and_params
+    s = make_sched(model, params, pool_slots=3)  # 2 usable + scratch
+    rids = [s.submit(ctx(2, i)) for i in range(4)]
+    s.tick()
+    st = s.status()
+    assert st["inflight"] == 2           # only 2 leases available
+    assert st["queue_depth"] == 2
+    s.run_until_empty()
+    st = s.status()
+    assert st["pool_high_water"][16] == 2
+    assert st["completed"] == 4
+    assert not any(st["pool_leaks"].values())
