@@ -100,9 +100,13 @@ class HybridDynamicEmbedding:
         ukeys = np.unique(keys[keys != int(EMPTY_KEY)])
         if len(ukeys) == 0:
             return state
-        dk = jnp.asarray(ukeys)
-        _, found = lookup(state.table, dk)
-        found = np.asarray(found)
+        # pad to a power-of-two bucket so the jitted device lookup
+        # compiles once per bucket, not once per batch
+        nb = 1 << max(int(np.ceil(np.log2(max(len(ukeys), 1)))), 6)
+        dk = np.full((nb,), int(EMPTY_KEY), np.int64)
+        dk[: len(ukeys)] = ukeys
+        _, found = lookup(state.table, jnp.asarray(dk))
+        found = np.asarray(found)[: len(ukeys)]
         self.stats["lookups"] += len(ukeys)
         self.stats["device_hits"] += int(found.sum())
         missing = ukeys[~found]
@@ -120,22 +124,28 @@ class HybridDynamicEmbedding:
         pre_keys = np.asarray(state.table.keys).reshape(-1)
         pre_scores = np.asarray(state.table.scores).reshape(-1)
         score = int(np.asarray(state.step)[0]) + 1
+        # bucket the insert shapes too (EMPTY_KEY rows are skipped)
+        nb = 1 << max(int(np.ceil(np.log2(max(len(bring), 1)))), 6)
+        bring_p = np.full((nb,), int(EMPTY_KEY), np.int64)
+        bring_p[: len(bring)] = bring
+        vals_p = np.zeros((nb, vals.shape[1]), vals.dtype)
+        vals_p[: len(bring)] = vals
         opt_rows = (
-            jnp.asarray(vals[:, dim:], state.table.values.dtype)
+            jnp.asarray(vals_p[:, dim:], state.table.values.dtype)
             if self.table.opt_dim > 0
             else None
         )
         tstate, slots, evicted = insert_and_evict(
             state.table,
-            jnp.asarray(bring),
-            jnp.full((len(bring),), score, jnp.int64),
-            jnp.asarray(vals[:, :dim], state.table.values.dtype),
+            jnp.asarray(bring_p),
+            jnp.full((nb,), score, jnp.int64),
+            jnp.asarray(vals_p[:, :dim], state.table.values.dtype),
             opt_rows,
             update_existing_values=True,
             rounds=self.table.options.insert_rounds,
         )
-        slots_np = np.asarray(slots)
-        ev_np = np.asarray(evicted)
+        slots_np = np.asarray(slots)[: len(bring)]
+        ev_np = np.asarray(evicted)[: len(bring)]
         victim_slots = slots_np[ev_np & (slots_np >= 0)]
         if len(victim_slots):
             vkeys = pre_keys[victim_slots]

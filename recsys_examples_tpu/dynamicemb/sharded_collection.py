@@ -85,8 +85,21 @@ class ShardedDynamicEmbedding:
     ):
         self.table = table
         self.mesh = mesh
+        # axis may be a single mesh axis name or a tuple of axis names
+        # (e.g. ("dcn", "data") for multi-slice row sharding: the table
+        # rows distribute over the combined axis; XLA routes each
+        # collective hop over its fabric — ICI within a slice, DCN
+        # across — reference analogue: multi-node NCCL process groups)
         self.axis = axis
-        self.world = 1 if mesh is None else mesh.shape[axis]
+        if mesh is None:
+            self.world = 1
+        elif isinstance(axis, tuple):
+            w = 1
+            for a in axis:
+                w *= mesh.shape[a]
+            self.world = w
+        else:
+            self.world = mesh.shape[axis]
         self.bucket_factor = bucket_factor
 
     # ------------------------------------------------------------ helpers

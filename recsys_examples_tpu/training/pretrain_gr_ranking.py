@@ -170,6 +170,7 @@ def main(argv=None):
     )
 
     sparse = {}
+    hybrid = None
     if demb.use_dynamic_embedding:
         table = DynamicEmbeddingTable(
             DynamicEmbTableOptions(
@@ -185,6 +186,17 @@ def main(argv=None):
             world_size=dp,
         )
         sparse["item"] = ShardedDynamicEmbedding(table, mesh=mesh)
+        hybrid = None
+        if demb.caching and mesh is None:
+            # device table as cache over a host tier: a host-side prefetch
+            # stage onboards each batch's missing rows before the jitted
+            # step so it never misses (reference: prefetch pipeline,
+            # train_pipeline.py:862 + dynamicemb_prefetch)
+            from recsys_examples_tpu.dynamicemb.hybrid_storage import (
+                HybridDynamicEmbedding,
+            )
+
+            hybrid = HybridDynamicEmbedding(table)
         if ds.action_vocab_size > 0:
             atable = DynamicEmbeddingTable(
                 DynamicEmbTableOptions(
@@ -254,6 +266,13 @@ def main(argv=None):
         if trainer_args.profile and i == trainer_args.profile_step_start:
             jax.profiler.start_trace("/tmp/rextpu_trace")
         timer.start()
+        if hybrid is not None:
+            new_sparse = dict(state.sparse)
+            new_sparse["item"] = hybrid.prefetch(
+                state.sparse["item"],
+                np.asarray(batch.features["item"].values),
+            )
+            state = state.replace(sparse=new_sparse)
         if mesh is not None:
             batch = shard_hstu_batch(batch, mesh, dp)
             with jax.set_mesh(mesh):
@@ -296,6 +315,10 @@ def main(argv=None):
     return state
 
 
+# last run_eval result (per-task AUC ndarray), for tools that drive main()
+LAST_EVAL_AUC = None
+
+
 def eval_batches(ds, trainer_args, iters):
     """Real holdout batches for file-backed datasets; synthetic only for
     dataset_name == "random" (reference: the eval loop iterates the eval
@@ -332,6 +355,8 @@ def run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args, iters=8):
         auc = auc_update(auc, aux["logits"], labels01, aux["valid"])
         nb += 1
     vals = np.asarray(auc_compute(auc))
+    global LAST_EVAL_AUC
+    LAST_EVAL_AUC = vals
     print_rank_0(
         f"eval ({nb} batches) AUC: "
         + ", ".join(f"{v:.4f}" for v in vals)

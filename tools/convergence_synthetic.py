@@ -1,0 +1,134 @@
+"""End-to-end convergence run on a planted-structure synthetic dataset.
+
+The reference's quality contract is convergence parity on MovieLens /
+KuaiRand (BASELINE.md "Model quality"); this host has no network access
+and no dataset mirror, so this tool demonstrates the SAME full pipeline —
+ratings file -> preprocess_movielens -> SequenceDataset (leave-one-out
+holdout) -> pretrain_gr_ranking entry -> eval AUC — on generated data
+with known learnable structure:
+
+  items belong to K latent clusters; each user has a preference vector
+  over clusters; rating ~ Bernoulli(sigmoid(pref . cluster)) -> 1..5.
+  A model that learns item co-cluster structure from histories beats
+  AUC 0.5 by a wide margin; the Bayes AUC of the generator is printed
+  for reference.
+
+Usage: python tools/convergence_synthetic.py [--iters 2000]
+Prints one JSON line with the final holdout AUC.
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def gen_ratings(path, n_users=2000, n_items=2000, k=16, seed=0,
+                min_len=20, max_len=120):
+    rng = np.random.default_rng(seed)
+    item_cluster = rng.integers(0, k, n_items)
+    user_pref = rng.normal(0, 1.5, (n_users, k))
+    rows = []
+    p_all = []
+    for u in range(n_users):
+        n = int(rng.integers(min_len, max_len))
+        items = rng.integers(0, n_items, n)
+        logits = user_pref[u, item_cluster[items]]
+        p = 1.0 / (1.0 + np.exp(-logits))
+        like = rng.random(n) < p
+        rating = np.where(like, rng.choice([4, 5], n), rng.choice([1, 2, 3], n))
+        ts = np.arange(n)
+        p_all.append((p, like))
+        for i in range(n):
+            rows.append(f"{u}::{items[i]}::{rating[i]}::{ts[i]}")
+    with open(path, "w") as f:
+        f.write("\n".join(rows))
+    # Bayes AUC of the generator (upper bound for any model)
+    ps = np.concatenate([p for p, _ in p_all])
+    ys = np.concatenate([y for _, y in p_all])
+    order = np.argsort(ps)
+    ranks = np.empty_like(order, float)
+    ranks[order] = np.arange(len(ps))
+    pos = ys.astype(bool)
+    auc = (ranks[pos].mean() - (pos.sum() - 1) / 2) / max(
+        (~pos).sum(), 1
+    )
+    return float(auc)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from recsys_examples_tpu.data.sequence_dataset import (
+        preprocess_movielens,
+    )
+    from recsys_examples_tpu.training import pretrain_gr_ranking
+    from recsys_examples_tpu.utils import gin_config
+
+    wd = args.workdir or tempfile.mkdtemp(prefix="convergence_")
+    ratings = os.path.join(wd, "ratings.dat")
+    npz = os.path.join(wd, "seq.npz")
+    bayes_auc = gen_ratings(ratings)
+    preprocess_movielens(ratings, npz, min_seq_len=10)
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = os.path.join(wd, "conv.gin")
+    with open(cfg, "w") as f:
+        f.write("\n".join([
+            f"TrainerArgs.max_train_iters = {args.iters}",
+            "TrainerArgs.log_interval = 100",
+            f"TrainerArgs.eval_interval = {max(args.iters // 4, 1)}",
+            'DatasetArgs.dataset_name = "synthetic-movielens"',
+            f'DatasetArgs.dataset_path = "{npz}"',
+            "DatasetArgs.batch_size = 64",
+            "DatasetArgs.max_history_len = 128",
+            "DatasetArgs.max_num_candidates = 1",
+            "DatasetArgs.item_vocab_size = 2000",
+            "DatasetArgs.action_vocab_size = 6",
+            "NetworkArgs.hidden_size = 128",
+            "NetworkArgs.num_layers = 2",
+            "NetworkArgs.num_attention_heads = 2",
+            "NetworkArgs.kv_channels = 64",
+            "NetworkArgs.hidden_dropout = 0.1",
+            f'NetworkArgs.kernel_backend = "{"pallas" if on_tpu else "jnp"}"',
+            f'NetworkArgs.dtype = "{"bfloat16" if on_tpu else "float32"}"',
+            "NetworkArgs.position_num_buckets = 256",
+            "OptimizerArgs.learning_rate = 0.001",
+            "DynamicEmbeddingArgs.capacity = 8192",
+            "DynamicEmbeddingArgs.bucket_capacity = 32",
+            'DynamicEmbeddingArgs.optimizer = "rowwise_adagrad"',
+            "RankingArgs.prediction_head_arch = [64, 1]",
+            "RankingArgs.num_tasks = 1",
+        ]))
+    gin_config.clear_config()
+    pretrain_gr_ranking.main(["--gin-config-file", cfg])
+    auc = pretrain_gr_ranking.LAST_EVAL_AUC
+    print(json.dumps({
+        "bench": "convergence_synthetic_ranking",
+        "iters": args.iters,
+        "holdout_auc": None if auc is None else round(float(auc[0]), 4),
+        "bayes_auc_upper_bound": round(bayes_auc, 4),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
