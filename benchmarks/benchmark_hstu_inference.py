@@ -156,7 +156,7 @@ def main(argv=None):
 
     cold_ms = float(np.median(cold)) * 1e3
     warm_ms = warm * 1e3
-    print(json.dumps({
+    out = {
         "metric": "hstu_inference_kvcache_speedup",
         "value": round(cold_ms / warm_ms, 2),
         "unit": "x",
@@ -167,8 +167,40 @@ def main(argv=None):
             "layers": args.layers,
             "backend": jax.default_backend(),
         },
+    }
+    print(json.dumps(out))
+    return out
+
+
+def sweep(argv=None):
+    """Cached-vs-uncached sweep over batch x history (the reference's
+    inference benchmark tables, examples/hstu/inference/benchmark/
+    README.md:41,61). Prints a markdown table + one JSON line."""
+    rows = []
+    for bs in (1, 4, 8):
+        for hist in (1024, 3968):
+            r = main([
+                "--batch", str(bs), "--hist", str(hist), "--cand", "128",
+            ])
+            rows.append(r)
+    print("\n| batch | hist (cached) | cold ms | warm ms | speedup |")
+    print("|---:|---:|---:|---:|---:|")
+    for r in rows:
+        d = r["detail"]
+        print(f"| {d['batch']} | {d['hist']} | {d['cold_ms']} "
+              f"| {d['warm_ms']} | {r['value']}x |")
+    print(json.dumps({
+        "metric": "hstu_inference_sweep",
+        "cells": [
+            {"batch": r["detail"]["batch"], "hist": r["detail"]["hist"],
+             "speedup": r["value"]} for r in rows
+        ],
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--sweep" in _sys.argv:
+        sweep()
+    else:
+        main()

@@ -56,7 +56,25 @@ class RankingGR(nn.Module):
             jnp.arange(logits.shape[0], dtype=jnp.int32)
             < jd.seqlen_offsets[-1]
         )
-        labels = batch.labels[: logits.shape[0]]
+        # logits are candidate-JAGGED-packed (row r = sample b's j-th
+        # candidate, offsets jd.seqlen_offsets); batch.labels is b-major
+        # strided [b * max_num_candidates + j]. Repack labels to match —
+        # indexing batch.labels[:N] directly would pair the wrong labels
+        # whenever any sample has fewer than max_num_candidates.
+        if batch.max_num_candidates > 0:
+            from recsys_examples_tpu.ops.jagged import row_to_batch
+
+            N = logits.shape[0]
+            offs = jd.seqlen_offsets
+            b = row_to_batch(offs, N)
+            j = jnp.arange(N, dtype=jnp.int32) - offs[b]
+            src = jnp.clip(
+                b * batch.max_num_candidates + j,
+                0, batch.labels.shape[0] - 1,
+            )
+            labels = batch.labels[src]
+        else:
+            labels = batch.labels[: logits.shape[0]]
         nt = self.task_config.num_tasks
         nc = self.task_config.prediction_head_arch[-1]
         if nc == nt:

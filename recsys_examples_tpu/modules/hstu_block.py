@@ -51,10 +51,35 @@ class HSTUBlockPreprocessor(nn.Module):
 
         has_action = batch.action_feature_name is not None
         if has_action:
+            # Interleave item/action for the HISTORY part only — candidate
+            # items enter WITHOUT their actions (the action is what the
+            # model predicts; feeding it would leak the label). Reference:
+            # hstu_processor.py:59-68 "the embeddings of candidates need
+            # no interleaving".
             action_values = embeddings[batch.action_feature_name].astype(cfg.dtype)
-            seq_values = interleave_jagged(seq_values, action_values)
-            seq_lengths = seq_lengths * 2
-            seq_max = seq_max * 2
+            if batch.num_candidates is not None and batch.max_num_candidates:
+                offs = lengths_to_offsets(seq_lengths)
+                nc = batch.num_candidates
+                hist_len = seq_lengths - nc
+                cand_cap = len(seq_lengths) * batch.max_num_candidates
+                T = seq_values.shape[0]
+                hv, ho, cv, co = split_2D_jagged(
+                    seq_values, offs, hist_len,
+                    total_a=T, total_b=cand_cap,
+                )
+                av, _, _, _ = split_2D_jagged(
+                    action_values, offs, hist_len,
+                    total_a=T, total_b=cand_cap,
+                )
+                inter = interleave_jagged(hv, av)   # [2T, D]
+                io = ho * 2
+                seq_values, new_offs = concat_2D_jagged(inter, io, cv, co)
+                seq_lengths = 2 * hist_len + nc
+                seq_max = seq_max * 2  # bound: 2*hist + cand <= 2*item_max
+            else:
+                seq_values = interleave_jagged(seq_values, action_values)
+                seq_lengths = seq_lengths * 2
+                seq_max = seq_max * 2
         if cfg.item_embedding_dim > 0:
             seq_values = MLP(
                 (cfg.hidden_size, cfg.hidden_size),
@@ -64,11 +89,10 @@ class HSTUBlockPreprocessor(nn.Module):
             )(seq_values)
         seq_offsets = lengths_to_offsets(seq_lengths)
 
+        # candidates are never interleaved, so their counts are unchanged
+        # by the action interleave
         num_candidates = batch.num_candidates
         max_num_candidates = batch.max_num_candidates
-        if num_candidates is not None and has_action:
-            num_candidates = num_candidates * 2
-            max_num_candidates = max_num_candidates * 2
 
         contextual_max = 0
         contextual_lengths = None
@@ -172,7 +196,10 @@ class HSTUBlockPostprocessor(nn.Module):
             offsets = jd.seqlen_offsets
             max_seqlen = jd.max_seqlen
 
-        if jd.has_interleaved_action:
+        if jd.has_interleaved_action and jd.max_num_candidates == 0:
+            # no candidates: outputs are the interleaved full sequence —
+            # keep the item rows. (With candidates, the selected candidate
+            # rows were never interleaved; nothing to strip.)
             values = values.reshape(values.shape[0] // 2, 2, -1)[:, 0, :]
             offsets = offsets // 2
             max_seqlen = max_seqlen // 2

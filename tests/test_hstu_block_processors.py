@@ -61,15 +61,26 @@ def test_preprocess_interleave_and_candidates():
     }
     pre = HSTUBlockPreprocessor(CFG)
     jd = pre.apply({"params": {}}, emb, batch, train=False)
-    # lengths doubled by interleave
-    np.testing.assert_array_equal(np.asarray(jd.seqlen), [6, 4])
+    # HISTORY interleaved (2*(len-nc)); candidates appended UNinterleaved
+    # (their actions are the prediction target and must not be fed —
+    # reference: hstu_processor.py:59-68)
+    np.testing.assert_array_equal(np.asarray(jd.seqlen), [5, 3])
     assert jd.max_seqlen == 6
-    # candidates doubled too
-    np.testing.assert_array_equal(np.asarray(jd.num_candidates), [2, 2])
-    # rows interleave item/action
+    # candidate counts unchanged by the interleave
+    np.testing.assert_array_equal(np.asarray(jd.num_candidates), [1, 1])
+    # rows: i0 a0 i1 a1 c2 | i3 a3 c4
     np.testing.assert_allclose(np.asarray(jd.values[0]), np.asarray(emb["item"][0]))
     np.testing.assert_allclose(np.asarray(jd.values[1]), np.asarray(emb["action"][0]))
     np.testing.assert_allclose(np.asarray(jd.values[2]), np.asarray(emb["item"][1]))
+    np.testing.assert_allclose(np.asarray(jd.values[3]), np.asarray(emb["action"][1]))
+    np.testing.assert_allclose(np.asarray(jd.values[4]), np.asarray(emb["item"][2]))
+    offs = np.asarray(jd.seqlen_offsets)
+    np.testing.assert_allclose(
+        np.asarray(jd.values[offs[1]]), np.asarray(emb["item"][3])
+    )
+    np.testing.assert_allclose(
+        np.asarray(jd.values[offs[1] + 2]), np.asarray(emb["item"][4])
+    )
 
 
 def test_postprocess_candidates_deinterleaved_and_normalized():

@@ -171,3 +171,58 @@ def test_ranking_with_relative_bias_trains():
         if "relative_bias" in jax.tree_util.keystr(kp)
     )
     assert gnorm > 0, "rab received no gradient"
+
+
+def test_ranking_label_alignment_variable_candidates():
+    """Candidate logits are jagged-packed; labels must be repacked from
+    the b-major [b*max_nc + j] layout to match (regression: misalignment
+    when any sample has nc < max_num_candidates)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recsys_examples_tpu.data.hstu_batch import HSTUBatch, JaggedIds
+    from recsys_examples_tpu.models.ranking_gr import RankingGR
+    from recsys_examples_tpu.modules.config import (
+        HSTUConfig, KernelBackend, RankingConfig,
+    )
+
+    cfg = HSTUConfig(
+        hidden_size=16, num_layers=1, num_attention_heads=2, kv_channels=8,
+        hidden_dropout=0.0, kernel_backend=KernelBackend.JNP,
+        dtype=jnp.float32, position_encoding_config=None,
+    )
+    task = RankingConfig(
+        embedding_configs=(), prediction_head_arch=(8, 1), num_tasks=1,
+    )
+    model = RankingGR(cfg, task)
+    # 2 samples: nc = [1, 2], max_nc = 2 -> b-major labels have a gap
+    item = JaggedIds(
+        values=jnp.asarray([1, 2, 3, 4, 5, 6, 7, 0], jnp.int64),
+        lengths=jnp.asarray([3, 4], jnp.int32),
+        offsets=jnp.asarray([0, 3, 7], jnp.int32),
+        max_len=4,
+    )
+    labels = jnp.asarray([1, 9, 0, 1], jnp.int32)  # 9 = padding slot
+    batch = HSTUBatch(
+        features={"item": item}, batch_size=2,
+        feature_to_max_seqlen={"item": 4}, item_feature_name="item",
+        max_num_candidates=2,
+        num_candidates=jnp.asarray([1, 2], jnp.int32),
+        labels=labels,
+        label_lengths=jnp.asarray([1, 2], jnp.int32),
+    )
+    emb = {"item": jax.random.normal(jax.random.PRNGKey(0), (8, 16))}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, train=False,
+        embeddings=emb,
+    )["params"]
+    loss, aux = model.apply(
+        {"params": params}, batch, train=False, embeddings=emb,
+    )
+    got = np.asarray(aux["labels"])
+    val = np.asarray(aux["valid"])
+    # jagged-packed rows: [s0c0, s1c0, s1c1]; their labels must be
+    # [labels[0], labels[2], labels[3]] — the padding slot 9 never appears
+    assert val[:3].all()
+    np.testing.assert_array_equal(got[:3], [1, 0, 1])

@@ -30,10 +30,17 @@ import numpy as np
 
 
 def gen_ratings(path, n_users=2000, n_items=2000, k=16, seed=0,
-                min_len=20, max_len=120):
+                min_len=20, max_len=120, task="pref"):
     rng = np.random.default_rng(seed)
     item_cluster = rng.integers(0, k, n_items)
-    user_pref = rng.normal(0, 1.5, (n_users, k))
+    if task == "item_bias":
+        # diagnostic: like-ness depends on the ITEM only — learnable from
+        # the candidate embedding alone (pipeline sanity check)
+        user_pref = np.tile(
+            np.linspace(-2.0, 2.0, k)[None, :], (n_users, 1)
+        )
+    else:
+        user_pref = rng.normal(0, 1.5, (n_users, k))
     rows = []
     p_all = []
     for u in range(n_users):
@@ -66,6 +73,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--dtype", default=None, help="bfloat16|float32")
+    ap.add_argument("--kernel", default=None, help="pallas|jnp")
+    ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--task", default="pref", choices=["pref", "item_bias"])
+    ap.add_argument("--users", type=int, default=2000)
     args = ap.parse_args()
 
     import jax
@@ -86,10 +98,12 @@ def main():
     wd = args.workdir or tempfile.mkdtemp(prefix="convergence_")
     ratings = os.path.join(wd, "ratings.dat")
     npz = os.path.join(wd, "seq.npz")
-    bayes_auc = gen_ratings(ratings)
+    bayes_auc = gen_ratings(ratings, n_users=args.users, task=args.task)
     preprocess_movielens(ratings, npz, min_seq_len=10)
 
     on_tpu = jax.default_backend() == "tpu"
+    dtype = args.dtype or ("bfloat16" if on_tpu else "float32")
+    kernel = args.kernel or ("pallas" if on_tpu else "jnp")
     cfg = os.path.join(wd, "conv.gin")
     with open(cfg, "w") as f:
         f.write("\n".join([
@@ -108,10 +122,10 @@ def main():
             "NetworkArgs.num_attention_heads = 2",
             "NetworkArgs.kv_channels = 64",
             "NetworkArgs.hidden_dropout = 0.1",
-            f'NetworkArgs.kernel_backend = "{"pallas" if on_tpu else "jnp"}"',
-            f'NetworkArgs.dtype = "{"bfloat16" if on_tpu else "float32"}"',
+            f'NetworkArgs.kernel_backend = "{kernel}"',
+            f'NetworkArgs.dtype = "{dtype}"',
             "NetworkArgs.position_num_buckets = 256",
-            "OptimizerArgs.learning_rate = 0.001",
+            f"OptimizerArgs.learning_rate = {args.lr}",
             "DynamicEmbeddingArgs.capacity = 8192",
             "DynamicEmbeddingArgs.bucket_capacity = 32",
             'DynamicEmbeddingArgs.optimizer = "rowwise_adagrad"',
