@@ -1489,11 +1489,10 @@ def hstu_attn_varlen_quantized_calibrated(
     v scale into the output epilogue. Forward only, like the reference's
     FP8 path. Returns bf16 [T, H, V].
 
-    Status: verified in interpret mode; the current axon remote-compile
-    Mosaic build rejects matmuls whose operands are casts of int8 loads
-    ("Bad lhs type"), so on-chip use needs a newer toolchain. The win on
-    this DMA-bound kernel is the halved K/V HBM traffic, independent of
-    the MAC precision.
+    Status: runs compiled on-chip (v5e, verified vs the bf16 kernel at
+    ~2e-2 relative error from the int8 quantization itself); also
+    interpret-mode tested. The win on this DMA-bound kernel is the halved
+    K/V HBM traffic, independent of the MAC precision.
     """
     return _hstu_fwd_impl(
         q_int8, k_int8, v_int8, None, aux, max_seqlen,

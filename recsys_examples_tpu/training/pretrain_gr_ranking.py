@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -257,6 +258,7 @@ def main(argv=None):
         f"backend={jax.default_backend()}"
     )
     losses = []
+    _nan_reported = [False]
     t_start = time.perf_counter()
     for i, batch in enumerate(
         watched_iter(it, timeout=trainer_args.watchdog_timeout_s)
@@ -282,6 +284,28 @@ def main(argv=None):
         loss = float(metrics["loss"])
         dt = timer.stop()
         losses.append(loss)
+        if loss != loss and not _nan_reported[0]:
+            # NaN tripwire (reference: ASSERT_LOSS_HAS_NAN,
+            # train_pipeline.py:196): report which state parts went
+            # non-finite once, so intermittent numeric faults are
+            # diagnosable from logs
+            _nan_reported[0] = True
+            bad = []
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                (state.params, state.sparse)
+            )[0]:
+                arr = np.asarray(leaf)
+                if (np.issubdtype(arr.dtype, np.floating)
+                        and not np.isfinite(arr).all()):
+                    bad.append(jax.tree_util.keystr(path))
+                if len(bad) >= 8:
+                    break
+            print_rank_0(
+                f"[nan-tripwire] loss NaN at iter {i + 1}; non-finite "
+                f"state leaves: {bad or 'none (transient batch?)'}"
+            )
+            if os.environ.get("REXTPU_HALT_ON_NAN"):
+                raise FloatingPointError("loss NaN")
         if trainer_args.profile and i == trainer_args.profile_step_end:
             jax.profiler.stop_trace()
         if (i + 1) % trainer_args.log_interval == 0:
@@ -317,6 +341,7 @@ def main(argv=None):
 
 # last run_eval result (per-task AUC ndarray), for tools that drive main()
 LAST_EVAL_AUC = None
+EVAL_AUC_HISTORY = []
 
 
 def eval_batches(ds, trainer_args, iters):
@@ -357,6 +382,7 @@ def run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args, iters=8):
     vals = np.asarray(auc_compute(auc))
     global LAST_EVAL_AUC
     LAST_EVAL_AUC = vals
+    EVAL_AUC_HISTORY.append(vals)
     print_rank_0(
         f"eval ({nb} batches) AUC: "
         + ", ".join(f"{v:.4f}" for v in vals)

@@ -78,6 +78,7 @@ def main():
     ap.add_argument("--lr", type=float, default=0.001)
     ap.add_argument("--task", default="pref", choices=["pref", "item_bias"])
     ap.add_argument("--users", type=int, default=2000)
+    ap.add_argument("--log-every", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -108,8 +109,8 @@ def main():
     with open(cfg, "w") as f:
         f.write("\n".join([
             f"TrainerArgs.max_train_iters = {args.iters}",
-            "TrainerArgs.log_interval = 100",
-            f"TrainerArgs.eval_interval = {max(args.iters // 4, 1)}",
+            f"TrainerArgs.log_interval = {args.log_every}",
+            f"TrainerArgs.eval_interval = {max(args.iters // 8, 1)}",
             'DatasetArgs.dataset_name = "synthetic-movielens"',
             f'DatasetArgs.dataset_path = "{npz}"',
             "DatasetArgs.batch_size = 64",
@@ -133,12 +134,17 @@ def main():
             "RankingArgs.num_tasks = 1",
         ]))
     gin_config.clear_config()
+    pretrain_gr_ranking.EVAL_AUC_HISTORY.clear()
     pretrain_gr_ranking.main(["--gin-config-file", cfg])
+    hist = [float(v[0]) for v in pretrain_gr_ranking.EVAL_AUC_HISTORY]
     auc = pretrain_gr_ranking.LAST_EVAL_AUC
     print(json.dumps({
         "bench": "convergence_synthetic_ranking",
+        "task": args.task,
         "iters": args.iters,
         "holdout_auc": None if auc is None else round(float(auc[0]), 4),
+        "best_holdout_auc": round(max(hist), 4) if hist else None,
+        "auc_history": [round(v, 4) for v in hist],
         "bayes_auc_upper_bound": round(bayes_auc, 4),
         "backend": jax.default_backend(),
     }))
