@@ -115,8 +115,17 @@ def _bucket_rank(b, want, num_buckets):
     bm = jnp.where(want, b.astype(jnp.int32), num_buckets)
     order = jnp.argsort(bm)
     sorted_b = bm[order]
-    run_start = jnp.searchsorted(sorted_b, sorted_b, side="left")
-    pos_sorted = jnp.arange(n, dtype=jnp.int32) - run_start.astype(jnp.int32)
+    # run starts via first-flag + cumulative max: searchsorted(sorted,
+    # sorted) lowers to a per-element binary-search loop (~1.7 ms at 16k
+    # keys); an associative scan is a few vector passes
+    idx = jnp.arange(n, dtype=jnp.int32)
+    firsts = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_b[1:] != sorted_b[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(firsts, idx, 0)
+    )
+    pos_sorted = idx - run_start
     # inverse permutation via argsort — 1D element scatters serialize on TPU
     return pos_sorted[jnp.argsort(order)]
 
@@ -190,9 +199,15 @@ def insert_and_evict(
     old_scores0 = jnp.take_along_axis(
         state.scores[b], slot_in0[:, None], axis=1
     )[:, 0]
-    row0 = jnp.where(found0, b.astype(jnp.int32), NB)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    # distinct out-of-bounds sentinel rows per lane: mode="drop" discards
+    # them, and distinctness keeps the unique_indices contract honest
+    row0 = jnp.where(found0, b.astype(jnp.int32), NB + lane)
+    # unique_indices: keys are pre-deduped, so hit cells are distinct —
+    # lets XLA lower the scatter vectorized instead of serializing on the
+    # scalar core (~2.3 ms at the bench shape without the hint)
     init_scores = state.scores.at[row0, slot_in0].set(
-        jnp.maximum(old_scores0, scores), mode="drop"
+        jnp.maximum(old_scores0, scores), mode="drop", unique_indices=True
     )
     slots_out = jnp.where(
         found0, b.astype(jnp.int32) * C + slot_in0, jnp.int32(-1)
@@ -236,15 +251,16 @@ def insert_and_evict(
         # nondeterministic (losers could clobber the winner's write).
         # 2D scatter (row, col) directly: flattening via reshape(-1)
         # forces a full-table (8,128)->(1024) retile copy each round.
-        row_w = jnp.where(win, b.astype(jnp.int32), NB)
-        new_keys = tkeys.at[row_w, slot_in].set(keys, mode="drop")
+        lane_w = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        row_w = jnp.where(win, b.astype(jnp.int32), NB + lane_w)
+        new_keys = tkeys.at[row_w, slot_in].set(keys, mode="drop", unique_indices=True)
         old_scores_at = jnp.take_along_axis(
             bucket_keys_scores_raw, slot_in[:, None], axis=1
         )[:, 0]
         refreshed = jnp.where(
             found, jnp.maximum(old_scores_at, scores), scores
         )
-        new_scores = tscores.at[row_w, slot_in].set(refreshed, mode="drop")
+        new_scores = tscores.at[row_w, slot_in].set(refreshed, mode="drop", unique_indices=True)
         slots_out = jnp.where(win, flat, slots_out)
         evicted_any = evicted_any | (win & is_evict)
         found_any = found_any | (win & found)
@@ -276,13 +292,16 @@ def insert_and_evict(
     new_opt = state.opt
     if values is not None:
         write_val = won & (~found_any | update_existing_values)
-        flat_v = jnp.where(write_val, slots_out, NB * C)
+        lane_v = jnp.arange(values.shape[0], dtype=jnp.int32)
+        flat_v = jnp.where(write_val, slots_out, NB * C + lane_v)
         new_values = state.values.at[flat_v].set(
-            values.astype(state.values.dtype), mode="drop"
+            values.astype(state.values.dtype), mode="drop",
+            unique_indices=True,
         )
         if opt_rows is not None and state.opt is not None:
             new_opt = state.opt.at[flat_v].set(
-                opt_rows.astype(state.opt.dtype), mode="drop"
+                opt_rows.astype(state.opt.dtype), mode="drop",
+                unique_indices=True,
             )
 
     newly_inserted = won & ~found_any
@@ -316,10 +335,12 @@ def update_scores(
     state: HashTableState, slots: jax.Array, scores: jax.Array
 ) -> HashTableState:
     C = state.bucket_capacity
+    lane = jnp.arange(slots.shape[0], dtype=jnp.int32)
     tgt = jnp.where(slots >= 0, slots, state.capacity)
-    row = jnp.where(slots >= 0, tgt // C, state.num_buckets)
+    row = jnp.where(slots >= 0, tgt // C, state.num_buckets + lane)
     return state.replace(
-        scores=state.scores.at[row, tgt % C].set(scores, mode="drop")
+        scores=state.scores.at[row, tgt % C].set(
+            scores, mode="drop", unique_indices=True)
     )
 
 
@@ -328,10 +349,12 @@ def add_scores(
 ) -> HashTableState:
     """Accumulate into scores (LFU counting)."""
     C = state.bucket_capacity
+    lane = jnp.arange(slots.shape[0], dtype=jnp.int32)
     tgt = jnp.where(slots >= 0, slots, state.capacity)
-    row = jnp.where(slots >= 0, tgt // C, state.num_buckets)
+    row = jnp.where(slots >= 0, tgt // C, state.num_buckets + lane)
     return state.replace(
-        scores=state.scores.at[row, tgt % C].add(inc, mode="drop")
+        scores=state.scores.at[row, tgt % C].add(
+            inc, mode="drop", unique_indices=True)
     )
 
 

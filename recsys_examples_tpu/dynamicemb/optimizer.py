@@ -115,13 +115,17 @@ def sparse_update(
     else:
         raise ValueError(args.optimizer)
 
-    tgt = jnp.where(ok, slots, state.capacity)  # failed slots dropped
+    # distinct OOB sentinels for failed slots keep the unique_indices
+    # contract (slots of successful rows are unique: deduped keys)
+    lane = jnp.arange(slots.shape[0], dtype=slots.dtype)
+    tgt = jnp.where(ok, slots, state.capacity + lane)
     new_values = state.values.at[tgt].set(
-        w.astype(state.values.dtype), mode="drop"
+        w.astype(state.values.dtype), mode="drop", unique_indices=True
     )
     new_opt = state.opt
     if new_opt_rows is not None:
         new_opt = state.opt.at[tgt].set(
-            new_opt_rows.astype(state.opt.dtype), mode="drop"
+            new_opt_rows.astype(state.opt.dtype), mode="drop",
+            unique_indices=True,
         )
     return state.replace(values=new_values, opt=new_opt)

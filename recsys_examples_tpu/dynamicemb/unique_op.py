@@ -59,10 +59,14 @@ def segmented_unique(
         jnp.max(jnp.where(pad_sorted, -1, uid_sorted)) + 1,
         0,
     )
-    # uid_sorted is non-decreasing: the entry for unique id u starts at
-    # searchsorted(uid_sorted, u) — gathers instead of (serialized) scatters
+    # Compact the group-start positions to the front with ONE extra sort:
+    # the k-th first-flag position (ascending) is exactly unique id k's
+    # start. (searchsorted(uid_sorted, arange) lowers to a per-element
+    # binary-search loop — ~1.7 ms at 16k keys — and a scatter would
+    # serialize on the scalar core; sorts are vectorized.)
     u_range = jnp.arange(n, dtype=jnp.int32)
-    first_pos = jnp.searchsorted(uid_sorted, u_range, side="left")
+    start_or_pad = jnp.where(first & ~pad_sorted, u_range, jnp.int32(n))
+    first_pos = jnp.sort(start_or_pad)
     fp = jnp.clip(first_pos, 0, n - 1)
     group_valid = u_range <= jnp.max(uid_sorted)  # any group incl. padding
     key_valid = u_range < num_unique

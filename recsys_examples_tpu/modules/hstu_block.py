@@ -154,6 +154,7 @@ class HSTUBlockPreprocessor(nn.Module):
                 seq_offsets=jd.seqlen_offsets,
                 num_targets=jd.num_candidates,
                 seq_timestamps=batch.timestamps,
+                max_seqlen=jd.max_seqlen,
             )
             jd = jd.replace(values=vals)
         if cfg.hidden_dropout > 0.0:

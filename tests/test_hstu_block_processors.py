@@ -105,3 +105,47 @@ def test_postprocess_candidates_deinterleaved_and_normalized():
     np.testing.assert_allclose(
         np.asarray(out.values[1]), src1 / np.linalg.norm(src1), rtol=1e-4
     )
+
+
+def test_position_encoder_custom_vjp_matches_autodiff():
+    """The scatter-free d(pos_w) path must match plain autodiff."""
+    from recsys_examples_tpu.modules.position_encoder import (
+        HSTUPositionalEncoder,
+    )
+
+    enc = HSTUPositionalEncoder(
+        num_position_buckets=16, num_time_buckets=8, embedding_dim=8,
+    )
+    lens = jnp.asarray([5, 20, 1], jnp.int32)   # one sample clamps (20>16)
+    offs = jnp.asarray([0, 5, 25, 26], jnp.int32)
+    T, D = 32, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (T, D))
+    tgt = jnp.asarray([1, 2, 0], jnp.int32)
+    params = enc.init(
+        jax.random.PRNGKey(1), x, lens, offs, num_targets=tgt,
+    )["params"]
+
+    def run(params, x, fast):
+        return enc.apply(
+            {"params": params}, x, lens, offs, num_targets=tgt,
+            max_seqlen=32 if fast else 0,
+        ).astype(jnp.float32)
+
+    o_fast = run(params, x, True)
+    o_slow = run(params, x, False)
+    np.testing.assert_allclose(
+        np.asarray(o_fast), np.asarray(o_slow), rtol=1e-6
+    )
+    g = jax.random.normal(jax.random.PRNGKey(2), o_fast.shape)
+    gf = jax.grad(lambda p, x: (run(p, x, True) * g).sum(), argnums=(0, 1))(
+        params, x
+    )
+    gs = jax.grad(lambda p, x: (run(p, x, False) * g).sum(), argnums=(0, 1))(
+        params, x
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        gf, gs,
+    )

@@ -55,7 +55,21 @@ def build(beam=16, layers=2, hidden=64):
     return model, params, H
 
 
-def drive(sched, contexts, label):
+def drive(sched, contexts, label, warmup=True):
+    if warmup:
+        # compile all (step, batch-bucket, ctx-bucket) executables before
+        # the measured phase (the reference pre-captures CUDA graphs the
+        # same way)
+        H = sched.model.config.num_hierarchies if hasattr(sched, "model") \
+            else sched.engine.model.config.num_hierarchies
+        rng = np.random.default_rng(99)
+        for n in (2, 24):
+            for _ in range(3):
+                sched.submit(rng.integers(0, 256, n * H).astype(np.int32))
+            sched.run_until_empty()
+        for r in list(getattr(sched, "finished", {})):
+            sched.get_result(r)
+        sched.metrics.clear()
     t0 = time.time()
     lat = {}
     rids = []
