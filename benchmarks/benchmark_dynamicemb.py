@@ -9,6 +9,13 @@ Usage: python benchmarks/benchmark_dynamicemb.py
 import json
 import time
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
