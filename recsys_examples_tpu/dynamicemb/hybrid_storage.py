@@ -78,9 +78,12 @@ class HybridDynamicEmbedding:
     """Device table (cache) + host tier; prefetch keeps the working set in
     HBM so the jitted step never misses to host."""
 
-    def __init__(self, table: DynamicEmbeddingTable):
+    def __init__(self, table: DynamicEmbeddingTable, host_storage=None):
         self.table = table
-        self.host = HostStorage(table.value_dim)
+        # host tier: plain RAM store by default; pass a
+        # tiered_storage.TieredHostStorage to cap RAM and spill the cold
+        # tail to SSD (reference: FlexKV CPU/SSD tiers)
+        self.host = host_storage or HostStorage(table.value_dim)
         # cache-stats probes (reference: commons/utils/dynamicemb_cache_stats
         # auto_install hit-rate tracking)
         self.stats = {
@@ -113,6 +116,46 @@ class HybridDynamicEmbedding:
         if len(missing) == 0:
             return state
         host_vals, host_found = self.host.get_batch(missing)
+        # write-allocate: keys in NEITHER tier are inserted here with the
+        # initializer (instead of silently during the train step, whose
+        # evictions would bypass the host flush and lose rows) — the
+        # jitted step then only ever hits HBM (reference:
+        # _prefetch_cache_path inserts all misses, function.py:298)
+        fresh = missing[~host_found]
+        if len(fresh):
+            from recsys_examples_tpu.dynamicemb.initializer import (
+                initialize_embeddings,
+            )
+            from recsys_examples_tpu.dynamicemb.optimizer import (
+                initial_opt_row,
+            )
+
+            init_e = np.asarray(initialize_embeddings(
+                jnp.asarray(fresh), self.table.dim,
+                self.table.options.initializer_args,
+                self.table.options.value_dtype,
+            ), np.float32)
+            if self.table.opt_dim > 0:
+                init_o = np.asarray(initial_opt_row(
+                    self.table.opt_args.optimizer, len(fresh),
+                    self.table.dim, self.table.opt_args,
+                    self.table.options.value_dtype,
+                ), np.float32)
+                init_rows = np.concatenate([init_e, init_o], axis=1)
+            else:
+                init_rows = init_e
+            hv = np.zeros(
+                (len(missing), init_rows.shape[1]), np.float32
+            )
+            if host_vals.shape[1] == init_rows.shape[1]:
+                hv[host_found] = host_vals[host_found]
+            else:  # host rows stored without opt state
+                hv[host_found, : host_vals.shape[1]] = (
+                    host_vals[host_found]
+                )
+            hv[~host_found] = init_rows
+            host_vals = hv
+            host_found = np.ones((len(missing),), bool)
         bring = missing[host_found]
         if len(bring) == 0:
             return state
