@@ -317,7 +317,8 @@ class HostKVStorage:
     to host; onboard device_puts it back and appends. Async overlap comes
     from dispatching the device_put before the compute that consumes it."""
 
-    def __init__(self, cfg: KVCacheConfig):
+    def __init__(self, cfg: KVCacheConfig, ram_capacity_users: int = 0,
+                 ssd_dir: Optional[str] = None):
         from recsys_examples_tpu.utils.native import NativeHostStore
 
         self.cfg = cfg
@@ -326,12 +327,22 @@ class HostKVStorage:
         # host RAM scales with the actual cache, not max_cached_len. One
         # native store per bucket; `_user_bucket` remembers where each user
         # is so re-offloads at a different length don't leak rows.
+        # Optional SSD tier (FlexKV CPU/SSD analogue,
+        # flex_kvcache_manager.py:45): with ram_capacity_users set, the
+        # least-recently-offloaded users beyond it spill to per-width
+        # memmap arenas under ssd_dir and promote back on lookup.
         self._elems_per_token = (
             2 * cfg.num_layers * cfg.num_heads * cfg.head_dim
         )
         self._stores = {}
         self._user_bucket = {}
         self._NativeHostStore = NativeHostStore
+        self._ram_cap = ram_capacity_users
+        self._ssd_dir = ssd_dir
+        self._ssd_stores = {}
+        self._ssd_users = {}     # user -> width (rows living on SSD)
+        self._lru = []           # RAM users, oldest first
+        self.stats = {"ssd_spills": 0, "ssd_hits": 0}
 
     def _bucket(self, n: int) -> int:
         width = 1
@@ -347,7 +358,7 @@ class HostKVStorage:
         return st
 
     def __len__(self) -> int:
-        return len(self._user_bucket)
+        return len(self._user_bucket) + len(self._ssd_users)
 
     def offload(self, state: KVCacheState, user_id: int) -> None:
         slot, cached = lookup_kvcache(
@@ -368,11 +379,97 @@ class HostKVStorage:
             self._stores[old].erase(key)
         self._store_for(width).put(key, row, np.asarray([n], np.int64))
         self._user_bucket[int(user_id)] = width
+        uid = int(user_id)
+        if uid in self._lru:
+            self._lru.remove(uid)
+        self._lru.append(uid)
+        self._ssd_evict_one(uid)
+        self._maybe_spill()
+
+    def _ssd_store_for(self, width: int):
+        st = self._ssd_stores.get(width)
+        if st is None:
+            import os as _os
+
+            from recsys_examples_tpu.dynamicemb.tiered_storage import (
+                SSDStore,
+            )
+
+            st = SSDStore(
+                _os.path.join(self._ssd_dir, f"kv_w{width}.bin"),
+                self._elems_per_token * width,
+                capacity=max(self._ram_cap * 8, 64),
+            )
+            self._ssd_stores[width] = st
+        return st
+
+    def _ssd_evict_one(self, uid: int) -> None:
+        w = self._ssd_users.pop(uid, None)
+        if w is not None:
+            self._ssd_stores[w].erase(np.asarray([uid], np.int64))
+
+    def _maybe_spill(self) -> None:
+        if not self._ram_cap or self._ssd_dir is None:
+            return
+        while len(self._lru) > self._ram_cap:
+            uid = self._lru.pop(0)
+            w = self._user_bucket.pop(uid, None)
+            if w is None:
+                continue
+            st = self._stores[w]
+            rows, found = st.get(np.asarray([uid], np.int64))
+            if found[0]:
+                n = self._score_of(st, uid)
+                self._ssd_store_for(w).put(
+                    np.asarray([uid], np.int64), rows,
+                    np.asarray([n], np.int64),
+                )
+                self._ssd_users[uid] = w
+                self.stats["ssd_spills"] += 1
+            st.erase(np.asarray([uid], np.int64))
+
+    def _score_of(self, st, uid: int) -> int:
+        if st.native:
+            import recsys_examples_tpu.utils.native as nat
+
+            keys = np.asarray([uid], np.int64)
+            scores = np.zeros((1,), np.int64)
+            fnd = np.zeros((1,), np.uint8)
+            buf = np.zeros((1, st.row_dim), np.float32)
+            st._lib.host_store_get(
+                st._h, nat._ptr(keys), nat._ptr(buf),
+                nat._ptr(scores), nat._ptr(fnd), 1,
+            )
+            return int(scores[0]) if fnd[0] else 0
+        return int(st._scores.get(uid, 0))
+
+    def _promote_from_ssd(self, uid: int) -> bool:
+        w = self._ssd_users.get(uid)
+        if w is None:
+            return False
+        rows, scores, found = self._ssd_stores[w].get(
+            np.asarray([uid], np.int64)
+        )
+        if not found[0]:
+            self._ssd_users.pop(uid, None)
+            return False
+        self._store_for(w).put(
+            np.asarray([uid], np.int64), rows, scores[:1]
+        )
+        self._user_bucket[uid] = w
+        self._lru.append(uid)
+        self._ssd_stores[w].erase(np.asarray([uid], np.int64))
+        self._ssd_users.pop(uid, None)
+        self.stats["ssd_hits"] += 1
+        self._maybe_spill()
+        return True
 
     def lookup(self, user_id: int) -> int:
         width = self._user_bucket.get(int(user_id))
         if width is None:
-            return 0
+            if not self._promote_from_ssd(int(user_id)):
+                return 0
+            width = self._user_bucket[int(user_id)]
         rows, found = self._stores[width].get(
             np.asarray([user_id], np.int64)
         )

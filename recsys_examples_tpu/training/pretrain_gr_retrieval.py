@@ -96,6 +96,14 @@ def main(argv=None):
         eval_metrics=tuple(ret_args.eval_metrics),
     )
 
+    # dp x tp mesh (see pretrain_gr_ranking): one device -> no mesh
+    from recsys_examples_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    tp = tpa.tensor_model_parallel_size
+    mesh = make_mesh(dp=-1, tp=tp) if (n_dev > 1 or tp > 1) else None
+    dp = 1 if mesh is None else mesh.shape["data"]
+
     sparse = {}
     if demb.use_dynamic_embedding:
         table = DynamicEmbeddingTable(
@@ -109,8 +117,9 @@ def main(argv=None):
             SparseOptimizerArgs(
                 optimizer=demb.optimizer, learning_rate=demb.learning_rate
             ),
+            world_size=dp,
         )
-        sparse["item"] = ShardedDynamicEmbedding(table, mesh=None)
+        sparse["item"] = ShardedDynamicEmbedding(table, mesh=mesh)
 
     model = RetrievalGR(hstu_cfg, task_cfg)
     trainer = GRTrainer(
@@ -122,10 +131,22 @@ def main(argv=None):
         sparse,
     )
 
-    it = batch_iterator(ds, trainer_args)
+    from recsys_examples_tpu.data.sequence_dataset import PrefetchIterator
+    from recsys_examples_tpu.training.pretrain_gr_ranking import (
+        shard_hstu_batch,
+    )
+
+    it = PrefetchIterator(batch_iterator(ds, trainer_args, dp=dp), depth=2)
     first = next(it)
+    if mesh is not None:
+        first = shard_hstu_batch(first, mesh, dp)
     rng = jax.random.PRNGKey(trainer_args.seed)
-    state = trainer.init(rng, first)
+    import contextlib
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else (
+        contextlib.nullcontext()
+    )
+    with mesh_ctx:
+        state = trainer.init(rng, first)
     step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
     eval_fn = jax.jit(trainer.eval_step)
 
@@ -143,7 +164,12 @@ def main(argv=None):
         if i >= trainer_args.max_train_iters:
             break
         timer.start()
-        state, metrics = step_fn(state, batch, rng)
+        if mesh is not None:
+            batch = shard_hstu_batch(batch, mesh, dp)
+            with jax.set_mesh(mesh):
+                state, metrics = step_fn(state, batch, rng)
+        else:
+            state, metrics = step_fn(state, batch, rng)
         loss = float(metrics["loss"])
         dt = timer.stop()
         losses.append(loss)

@@ -104,3 +104,41 @@ def test_hybrid_embedding_with_tiered_host(tmp_path):
         "recsys_examples_tpu.dynamicemb.hashtable", fromlist=["lookup"]
     ).lookup(st.table, jnp.asarray(early))
     assert np.asarray(found).mean() > 0.5
+
+
+def test_host_kv_storage_ssd_spill(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from recsys_examples_tpu.inference.kvcache import (
+        HostKVStorage,
+        KVCacheConfig,
+        allocate_kvcache,
+        append_kvcache,
+        create_kvcache,
+        lookup_kvcache,
+    )
+
+    cfg = KVCacheConfig(
+        num_layers=1, num_heads=1, head_dim=8, page_size=4,
+        num_pages=64, max_users=16, max_pages_per_user=4,
+    )
+    host = HostKVStorage(cfg, ram_capacity_users=2, ssd_dir=str(tmp_path))
+    state = create_kvcache(cfg)
+    for uid in (1, 2, 3, 4):
+        u = jnp.asarray([uid], jnp.int64)
+        state, slots = allocate_kvcache(state, cfg, u,
+                                        jnp.asarray([4], jnp.int32))
+        k = jnp.full((1, 1, 4, 1, 8), float(uid))
+        state = append_kvcache(state, cfg, slots, k, k,
+                               jnp.asarray([4], jnp.int32))
+        host.offload(state, uid)
+    assert host.stats["ssd_spills"] == 2       # users 1, 2 spilled
+    assert len(host) == 4
+    # lookup of a spilled user promotes it back and its KV onboards
+    assert host.lookup(1) == 4
+    assert host.stats["ssd_hits"] == 1
+    state2 = create_kvcache(cfg)
+    state2 = host.onboard(state2, 1)
+    slot, cached = lookup_kvcache(state2, jnp.asarray([1], jnp.int64))
+    assert int(cached[0]) == 4
