@@ -74,7 +74,10 @@ def create_app(scheduler: GRContinuousScheduler):
         return web.json_response({"status": "ok"})
 
     async def metrics(request):
-        return web.json_response(scheduler.status())
+        # stepwise scheduler exposes the richer counters/utilization split
+        # (reference status()/metrics() split); fall back to status()
+        fn = getattr(scheduler, "get_metrics", scheduler.status)
+        return web.json_response(fn())
 
     app = web.Application()
     app.router.add_post("/generate", generate)

@@ -29,6 +29,7 @@ class GRServingRequest:
     context: np.ndarray              # flat SID stream
     top_k: int = 10
     submitted_at: float = 0.0
+    admitted_at: float = 0.0     # prefill dispatch time (timing breakdown)
     deadline_s: float = 30.0
     result: Optional[dict] = None
     done: bool = False

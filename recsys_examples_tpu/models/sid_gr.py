@@ -314,7 +314,7 @@ class SIDGRModel(nn.Module):
     # with per-step decode batches; decode state lives in pooled arrays).
     def beam_prefill(
         self, batch: SIDBatch, beam_width: Optional[int] = None,
-        width_pad: Optional[int] = None,
+        width_pad: Optional[int] = None, logits_processor=None,
     ):
         """Prefill + hierarchy-0 expansion at `beam_width`, padded to
         `width_pad` slots (extra beams get -inf scores) so pooled decode
@@ -347,6 +347,12 @@ class SIDGRModel(nn.Module):
         logp0 = jax.nn.log_softmax(
             self._head(0)(hs.astype(jnp.float32)), axis=-1
         )
+        if logits_processor is not None:
+            # processor contract is (step, logp [B, W, V], paths [B, W,
+            # step]); at prefill there is one implicit beam and no prefix
+            logp0 = logits_processor(
+                0, logp0[:, None, :], jnp.zeros((B, 1, 0), jnp.int32)
+            )[:, 0]
         state = init_beam(B, W, H)
         state = first_expand(state, logp0)
 
@@ -378,7 +384,7 @@ class SIDGRModel(nn.Module):
 
     def beam_step(
         self, carry, h: int, width_in: int, width_out: int,
-        attn_backend: str = "auto",
+        attn_backend: str = "auto", logits_processor=None,
     ):
         """One hierarchy step h (1..H-1) at beam width `width_in`,
         narrowing to `width_out` survivors (width schedule must be
@@ -430,6 +436,14 @@ class SIDGRModel(nn.Module):
         logp = jax.nn.log_softmax(
             self._head(h)(hidden.astype(jnp.float32)), axis=-1
         )
+        if logits_processor is not None:
+            # decode each live beam's h-token prefix through the search
+            # tree for prefix-conditioned processors (constraint tries)
+            prefix = decode_paths(BeamState(
+                scores=scores, tokens=tokens, parents=parents,
+                step=jnp.asarray(h, jnp.int32),
+            ))[:, :, :h]
+            logp = logits_processor(h, logp, prefix)
         # propagate with top width_out over (W x C)
         C = logp.shape[-1]
         total = scores[:, :, None] + logp

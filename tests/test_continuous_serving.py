@@ -117,9 +117,15 @@ def test_scheduled_widths_compile_narrowing(model_and_params):
     got = s.get_result(rid)
     # final width 2 -> at most 2 results
     assert 0 < len(got["sids"]) <= 2
-    # widths really drive the compiled executables
-    step_keys = [k for k in s._fns if k[0] == "step"]
-    assert len(step_keys) == H - 1
+    # widths really drive the compiled executables: the fused step chains
+    # must cover hierarchy steps 1..H-1 exactly once, in order
+    spans = sorted(
+        (k[1], k[2]) for k in s._fns if k[0] == "step"
+    )
+    covered = []
+    for h0, h1 in spans:
+        covered.extend(range(h0, h1))
+    assert covered == list(range(1, H))
 
 
 def test_score_margin_prunes_live_beams(model_and_params):
@@ -148,3 +154,86 @@ def test_pool_high_water_and_budget(model_and_params):
     assert st["pool_high_water"][16] == 2
     assert st["completed"] == 4
     assert not any(st["pool_leaks"].values())
+
+
+def test_logits_processor_composes_with_score_margin(model_and_params):
+    """Constrained decoding (trie processor) composed with the
+    score-margin policy (VERDICT r2 #8): every returned SID tuple must be
+    in the catalog AND within the margin of the best score."""
+    from recsys_examples_tpu.inference.sid_serving.item_constraints import (
+        TrieConstraint,
+    )
+    from recsys_examples_tpu.inference.sid_serving.logits_processor import (
+        ConstraintProcessor,
+        LogitsProcessorChain,
+        TemperatureProcessor,
+    )
+
+    model, params = model_and_params
+    rng = np.random.default_rng(5)
+    catalog = rng.integers(0, 32, size=(40, H)).astype(np.int32)
+    catalog = np.unique(catalog, axis=0)
+    trie = TrieConstraint(catalog, codebook_size=32)
+
+    def mask_fn(step, paths):
+        # resolve each beam's trie node from its decoded prefix
+        B, W, _ = paths.shape
+        node = jnp.zeros((B, W), jnp.int32)
+        for s in range(step):
+            node = trie.advance(node, paths[:, :, s], s)
+        allowed = trie.children[step][
+            jnp.clip(node, 0, trie.children[step].shape[0] - 1)
+        ] >= 0
+        allowed = allowed & (node >= 0)[..., None]
+        return jnp.where(allowed, 0.0, -jnp.inf)
+
+    chain = LogitsProcessorChain((
+        TemperatureProcessor(0.8),
+        ConstraintProcessor(mask_fn),
+    ))
+    policy = BeamPolicy(kind="score_margin", width=8, margin=3.0)
+    s = make_sched(model, params, policy=policy,
+                   logits_processor=chain)
+    rid = s.submit(ctx(2, 9))
+    s.run_until_empty()
+    got = s.get_result(rid)
+    assert len(got["sids"]) >= 1
+    cat_set = {tuple(r) for r in catalog.tolist()}
+    for sid in got["sids"]:
+        assert tuple(sid) in cat_set, f"{sid} not in catalog"
+    sc = np.asarray(got["scores"])
+    assert (sc.max() - sc.min()) <= 3.0 + 1e-6
+
+
+def test_timing_breakdown_and_metrics(model_and_params):
+    """Per-request timing breakdown + the status()/metrics() split
+    (VERDICT r2 #8; reference: continuous.py:449,482)."""
+    model, params = model_and_params
+    s = make_sched(model, params)
+    rid = s.submit(ctx(2, 11))
+    s.run_until_empty()
+    got = s.get_result(rid)
+    t = got["timing"]
+    assert t["queue_ms"] >= 0 and t["decode_ms"] >= 0
+    assert t["total_ms"] >= t["decode_ms"]
+    m = s.get_metrics()
+    assert m["counters"]["completed"] == 1
+    assert m["queue_depth"] == 0 and m["inflight"] == 0
+    assert 16 in m["pool_high_water"]
+    assert m["steps_per_dispatch"] >= 1
+    assert m["counters"]["dispatches"] > 0
+
+
+def test_coalescing_reduces_dispatches(model_and_params):
+    """steps_per_dispatch=2 must issue strictly fewer device dispatches
+    than per-step ticking for the same request load (VERDICT r2 #3)."""
+    model, params = model_and_params
+    counts = {}
+    for k in (1, 2):
+        s = make_sched(model, params, steps_per_dispatch=k)
+        for i in range(4):
+            s.submit(ctx(2, 20 + i))
+        s.run_until_empty()
+        counts[k] = s.metrics["dispatches"]
+        assert s.metrics["completed"] == 4
+    assert counts[2] < counts[1], counts
