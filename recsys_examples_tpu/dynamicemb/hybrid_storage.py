@@ -74,12 +74,86 @@ class HostStorage:
         return self._store.export(score_threshold)
 
 
+def _insert_flush_op(
+    table, keys, scores, emb, opt_rows, have_row, *, opt_args, init_args,
+    value_dtype, rounds,
+):
+    """Jitted device side of prefetch: init fresh rows, insert (evicting
+    min-score victims), and gather the victims' PRE-insert rows for the
+    host flush — all in one dispatch, no full-table host copies.
+
+    keys/scores [n]; emb [n, dim]; opt_rows [n, opt_dim] or None;
+    have_row [n] bool (False -> row comes from the key-seeded initializer).
+    Returns (new_table, victim_keys [n], victim_scores [n],
+    victim_rows [n, value_dim]) with EMPTY_KEY marking no-victim lanes.
+    """
+    from recsys_examples_tpu.dynamicemb.initializer import (
+        initialize_embeddings,
+    )
+    from recsys_examples_tpu.dynamicemb.optimizer import initial_opt_row
+
+    dim = emb.shape[1]
+    n = keys.shape[0]
+    init_e = initialize_embeddings(keys, dim, init_args, value_dtype)
+    emb = jnp.where(have_row[:, None], emb, init_e.astype(emb.dtype))
+    if opt_rows is not None:
+        init_o = initial_opt_row(
+            opt_args.optimizer, n, dim, opt_args, value_dtype
+        )
+        opt_rows = jnp.where(
+            have_row[:, None], opt_rows, init_o.astype(opt_rows.dtype)
+        )
+    old_keys = table.keys.reshape(-1)
+    old_scores = table.scores.reshape(-1)
+    new_table, slots, evicted = insert_and_evict(
+        table, keys, scores, emb, opt_rows,
+        update_existing_values=True, rounds=rounds,
+    )
+    has_victim = evicted & (slots >= 0)
+    vslots = jnp.where(has_victim, slots, 0)
+    vkeys = jnp.where(has_victim, old_keys[vslots], EMPTY_KEY)
+    vscores = old_scores[vslots]
+    vrows = table.values[vslots]
+    if table.opt is not None:
+        vrows = jnp.concatenate([vrows, table.opt[vslots]], axis=1)
+    return new_table, vkeys, vscores, vrows
+
+
 class HybridDynamicEmbedding:
     """Device table (cache) + host tier; prefetch keeps the working set in
-    HBM so the jitted step never misses to host."""
+    HBM so the jitted step never misses to host.
 
-    def __init__(self, table: DynamicEmbeddingTable, host_storage=None):
+    With `mesh`, composes with the row-sharded path (VERDICT r2 #4;
+    reference: HybridStorage under TorchRec row-wise sharding,
+    key_value_table.py:2107 + planner): each rank's table shard acts as
+    the cache for the keys it owns (owner = key % world, matching
+    sharded_collection._route), prefetch routes per-owner key buckets
+    through ONE shard_map'd lookup + ONE shard_map'd insert-and-flush, and
+    the host tier holds the evicted cold rows. Tables larger than
+    world x per-chip HBM then train multi-chip.
+    """
+
+    def __init__(
+        self,
+        table: DynamicEmbeddingTable,
+        host_storage=None,
+        mesh=None,
+        axis=None,
+    ):
+        from recsys_examples_tpu.parallel.mesh import DATA_AXIS
+
         self.table = table
+        self.mesh = mesh
+        self.axis = axis or DATA_AXIS
+        if mesh is None:
+            self.world = 1
+        elif isinstance(self.axis, tuple):
+            w = 1
+            for a in self.axis:
+                w *= mesh.shape[a]
+            self.world = w
+        else:
+            self.world = mesh.shape[self.axis]
         # host tier: plain RAM store by default; pass a
         # tiered_storage.TieredHostStorage to cap RAM and spill the cold
         # tail to SSD (reference: FlexKV CPU/SSD tiers)
@@ -92,121 +166,168 @@ class HybridDynamicEmbedding:
         }
 
     def init_state(self) -> DynamicEmbTableState:
-        return self.table.init_state()
+        if self.mesh is None:
+            return self.table.init_state()
+        from recsys_examples_tpu.dynamicemb.sharded_collection import (
+            ShardedDynamicEmbedding,
+        )
+
+        return ShardedDynamicEmbedding(
+            self.table, mesh=self.mesh, axis=self.axis
+        ).init_state()
+
+    # ---------------------------------------------------- device ops
+    def _pack(self, ukeys: np.ndarray):
+        """Route unique keys into per-owner fixed-capacity buckets
+        [W, cap] (owner = key %% W, matching sharded_collection._route);
+        power-of-two cap so each distinct cap compiles once."""
+        W = self.world
+        if W == 1:
+            cap = 1 << max(int(np.ceil(np.log2(max(len(ukeys), 1)))), 6)
+            dk = np.full((1, cap), int(EMPTY_KEY), np.int64)
+            dk[0, : len(ukeys)] = ukeys
+            return dk
+        owner = (ukeys % W).astype(np.int64)
+        counts = np.bincount(owner, minlength=W)
+        cap = 1 << max(int(np.ceil(np.log2(max(counts.max(), 1)))), 6)
+        dk = np.full((W, cap), int(EMPTY_KEY), np.int64)
+        order = np.argsort(owner, kind="stable")
+        pos = np.arange(len(ukeys)) - np.concatenate(
+            [[0], np.cumsum(counts)]
+        )[owner[order]]
+        dk[owner[order], pos] = ukeys[order]
+        return dk
+
+    def _ops(self, cap: int):
+        """(lookup_fn, insert_flush_fn) for bucket width `cap`, cached."""
+        if not hasattr(self, "_op_cache"):
+            self._op_cache = {}
+        if cap in self._op_cache:
+            return self._op_cache[cap]
+        import functools
+
+        table = self.table
+        ifl = functools.partial(
+            _insert_flush_op,
+            opt_args=table.opt_args,
+            init_args=table.options.initializer_args,
+            value_dtype=table.options.value_dtype,
+            rounds=table.options.insert_rounds,
+        )
+        has_opt = table.opt_dim > 0
+
+        def local_lookup(tstate, dk):  # dk [1, cap]
+            _, found = lookup(tstate.table, dk[0])
+            return found[None]
+
+        def local_insert(tstate, dk, scores, emb, opt, have):
+            new_table, vk, vs, vr = ifl(
+                tstate.table, dk[0], scores[0], emb[0],
+                opt[0] if has_opt else None, have[0],
+            )
+            return (
+                tstate.replace(table=new_table),
+                vk[None], vs[None], vr[None],
+            )
+
+        if self.mesh is None:
+            lk = jax.jit(local_lookup)
+            ins = jax.jit(local_insert, donate_argnums=(0,))
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.axis
+            state_spec = jax.tree.map(
+                lambda x: P(ax)
+                if hasattr(x, "ndim") and x.ndim >= 1
+                else P(),
+                jax.eval_shape(self.init_state),
+            )
+            row = P(ax, None)
+            lk = jax.jit(shard_map(
+                local_lookup, mesh=self.mesh,
+                in_specs=(state_spec, row), out_specs=row,
+                check_vma=False,
+            ))
+            ins = jax.jit(shard_map(
+                local_insert, mesh=self.mesh,
+                in_specs=(state_spec, row, row, P(ax, None, None),
+                          P(ax, None, None), row),
+                out_specs=(state_spec, row, row, P(ax, None, None)),
+                check_vma=False,
+            ), donate_argnums=(0,))
+        self._op_cache[cap] = (lk, ins)
+        return self._op_cache[cap]
 
     def prefetch(
         self, state: DynamicEmbTableState, keys: np.ndarray
     ) -> DynamicEmbTableState:
-        """Move the batch's host-resident keys into the device table,
+        """Move the batch's host-resident keys into the device table(s),
         flushing evicted rows to host (reference: dynamicemb_prefetch
-        batched_dynamicemb_function.py:699)."""
+        batched_dynamicemb_function.py:699). Write-allocate: keys in
+        NEITHER tier are inserted here with the key-seeded initializer
+        (instead of silently during the train step, whose evictions would
+        bypass the host flush and lose rows) — the jitted step then only
+        ever hits HBM (reference: _prefetch_cache_path inserts all misses,
+        function.py:298)."""
+        keys = np.asarray(keys).reshape(-1)
         ukeys = np.unique(keys[keys != int(EMPTY_KEY)])
         if len(ukeys) == 0:
             return state
-        # pad to a power-of-two bucket so the jitted device lookup
-        # compiles once per bucket, not once per batch
-        nb = 1 << max(int(np.ceil(np.log2(max(len(ukeys), 1)))), 6)
-        dk = np.full((nb,), int(EMPTY_KEY), np.int64)
-        dk[: len(ukeys)] = ukeys
-        _, found = lookup(state.table, jnp.asarray(dk))
-        found = np.asarray(found)[: len(ukeys)]
+        dk = self._pack(ukeys)
+        W, cap = dk.shape
+        lk, ins = self._ops(cap)
+        found = np.asarray(lk(state, jnp.asarray(dk)))
+        active = dk != int(EMPTY_KEY)
         self.stats["lookups"] += len(ukeys)
-        self.stats["device_hits"] += int(found.sum())
-        missing = ukeys[~found]
-        if len(missing) == 0:
+        self.stats["device_hits"] += int(found[active].sum())
+        miss = active & ~found
+        miss_flat = np.where(miss.reshape(-1))[0]
+        if len(miss_flat) == 0:
             return state
-        host_vals, host_found = self.host.get_batch(missing)
-        # write-allocate: keys in NEITHER tier are inserted here with the
-        # initializer (instead of silently during the train step, whose
-        # evictions would bypass the host flush and lose rows) — the
-        # jitted step then only ever hits HBM (reference:
-        # _prefetch_cache_path inserts all misses, function.py:298)
-        fresh = missing[~host_found]
-        if len(fresh):
-            from recsys_examples_tpu.dynamicemb.initializer import (
-                initialize_embeddings,
-            )
-            from recsys_examples_tpu.dynamicemb.optimizer import (
-                initial_opt_row,
-            )
+        miss_keys = dk.reshape(-1)[miss_flat]
+        host_vals, host_found = self.host.get_batch(miss_keys)
+        self.stats["host_onboards"] += int(host_found.sum())
 
-            init_e = np.asarray(initialize_embeddings(
-                jnp.asarray(fresh), self.table.dim,
-                self.table.options.initializer_args,
-                self.table.options.value_dtype,
-            ), np.float32)
-            if self.table.opt_dim > 0:
-                init_o = np.asarray(initial_opt_row(
-                    self.table.opt_args.optimizer, len(fresh),
-                    self.table.dim, self.table.opt_args,
-                    self.table.options.value_dtype,
-                ), np.float32)
-                init_rows = np.concatenate([init_e, init_o], axis=1)
-            else:
-                init_rows = init_e
-            hv = np.zeros(
-                (len(missing), init_rows.shape[1]), np.float32
-            )
-            if host_vals.shape[1] == init_rows.shape[1]:
-                hv[host_found] = host_vals[host_found]
-            else:  # host rows stored without opt state
-                hv[host_found, : host_vals.shape[1]] = (
-                    host_vals[host_found]
-                )
-            hv[~host_found] = init_rows
-            host_vals = hv
-            host_found = np.ones((len(missing),), bool)
-        bring = missing[host_found]
-        if len(bring) == 0:
-            return state
-        vals = host_vals[host_found]
-        self.stats["host_onboards"] += len(bring)
         dim = self.table.dim
-        # snapshot victims: keys currently in the target buckets may be
-        # evicted — capture the full table pre-insert to flush them after
-        pre_keys = np.asarray(state.table.keys).reshape(-1)
-        pre_scores = np.asarray(state.table.scores).reshape(-1)
-        score = int(np.asarray(state.step)[0]) + 1
-        # bucket the insert shapes too (EMPTY_KEY rows are skipped)
-        nb = 1 << max(int(np.ceil(np.log2(max(len(bring), 1)))), 6)
-        bring_p = np.full((nb,), int(EMPTY_KEY), np.int64)
-        bring_p[: len(bring)] = bring
-        vals_p = np.zeros((nb, vals.shape[1]), vals.dtype)
-        vals_p[: len(bring)] = vals
-        opt_rows = (
-            jnp.asarray(vals_p[:, dim:], state.table.values.dtype)
-            if self.table.opt_dim > 0
-            else None
+        vd = self.table.value_dim
+        dt = np.float32
+        ins_keys = np.where(miss, dk, int(EMPTY_KEY))
+        embf = np.zeros((W * cap, dim), dt)
+        optf = np.zeros((W * cap, max(self.table.opt_dim, 1)), dt)
+        havef = np.zeros((W * cap,), bool)
+        hit_rows = miss_flat[host_found]
+        hv = host_vals[host_found]
+        embf[hit_rows] = hv[:, :dim]
+        if self.table.opt_dim > 0 and hv.shape[1] >= vd:
+            optf[hit_rows] = hv[:, dim:vd]
+        havef[hit_rows] = True
+
+        score = int(np.asarray(state.step).reshape(-1)[0]) + 1
+        vdt = np.float32
+        state, vkeys, vscores, vrows = ins(
+            state,
+            jnp.asarray(ins_keys),
+            jnp.full((W, cap), score, jnp.int64),
+            jnp.asarray(embf.reshape(W, cap, dim),
+                        dtype=self.table.options.value_dtype),
+            jnp.asarray(optf.reshape(W, cap, -1),
+                        dtype=self.table.options.value_dtype),
+            jnp.asarray(havef.reshape(W, cap)),
         )
-        tstate, slots, evicted = insert_and_evict(
-            state.table,
-            jnp.asarray(bring_p),
-            jnp.full((nb,), score, jnp.int64),
-            jnp.asarray(vals_p[:, :dim], state.table.values.dtype),
-            opt_rows,
-            update_existing_values=True,
-            rounds=self.table.options.insert_rounds,
-        )
-        slots_np = np.asarray(slots)[: len(bring)]
-        ev_np = np.asarray(evicted)[: len(bring)]
-        victim_slots = slots_np[ev_np & (slots_np >= 0)]
-        if len(victim_slots):
-            vkeys = pre_keys[victim_slots]
-            vscores = pre_scores[victim_slots]
-            vvals = np.asarray(state.table.values)[victim_slots]
-            if state.table.opt is not None:
-                vvals = np.concatenate(
-                    [vvals, np.asarray(state.table.opt)[victim_slots]],
-                    axis=1,
-                )
-            live = vkeys != int(EMPTY_KEY)
+        vkeys = np.asarray(vkeys).reshape(-1)
+        live = vkeys != int(EMPTY_KEY)
+        if live.any():
             self.host.put_batch(
-                vkeys[live], vvals[live], vscores[live]
+                vkeys[live],
+                np.asarray(vrows).reshape(W * cap, -1)[live],
+                np.asarray(vscores).reshape(-1)[live],
             )
             self.stats["evict_flushes"] += int(live.sum())
         # drop the keys now living on-device from host
-        self.host._store.erase(np.asarray(bring, np.int64))
-        return state.replace(table=tstate)
+        self.host._store.erase(np.asarray(miss_keys, np.int64))
+        return state
 
     def flush_all(self, state: DynamicEmbTableState) -> None:
         """Flush the whole device table to host (reference: flush_cache
