@@ -54,6 +54,17 @@ class HSTULayer(nn.Module):
         D = cfg.hidden_size
         x = jd.values  # [T, D]
 
+        # ---- sequence parallelism (Megatron-SP semantics via GSPMD;
+        # reference: native_hstu_layer.py:85-99). Constrain the token dim
+        # of the residual stream to the "model" axis: layernorms and
+        # elementwise ops then run sequence-sharded, XLA inserts the
+        # all-gather feeding the column-parallel uvqk GEMM and the
+        # reduce-scatter after the row-parallel output projection.
+        if cfg.sequence_parallel and cfg.tensor_model_parallel_size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            x = jax.lax.with_sharding_constraint(x, P(MODEL_AXIS, None))
+
         # ---- input layernorm (fp32 stats)
         normed = nn.LayerNorm(
             epsilon=cfg.layernorm_epsilon,
@@ -154,6 +165,12 @@ class HSTULayer(nn.Module):
             name="linear_proj",
             dtype=cfg.dtype,
         )(y)
+        if cfg.sequence_parallel and cfg.tensor_model_parallel_size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            # reduce-scatter the row-parallel partial sums straight into
+            # the sequence-sharded layout (instead of all-reduce)
+            out = jax.lax.with_sharding_constraint(out, P(MODEL_AXIS, None))
         if cfg.residual:
             out = out + x
         return jd.replace(values=out)

@@ -26,6 +26,7 @@ class TrainerArgs:
     profile_step_start: int = 10
     profile_step_end: int = 12
     watchdog_timeout_s: float = 300.0
+    eval_iters: int = 8               # eval batches per run_eval
 
 
 @configurable
@@ -91,6 +92,10 @@ class DynamicEmbeddingArgs:
 @dataclasses.dataclass(frozen=True)
 class TensorModelParallelArgs:
     tensor_model_parallel_size: int = 1
+    # Megatron-SP analogue: shard the token dim of layernorm/elementwise
+    # regions over the "model" axis (reference: hstu_config.py:206-208 —
+    # SP only meaningful when tp > 1)
+    sequence_parallel: bool = False
 
 
 @configurable

@@ -54,8 +54,9 @@ from recsys_examples_tpu.utils.perf import device_peak_tflops, hstu_train_flops
 from recsys_examples_tpu.utils.watchdog import watched_iter
 
 
-def build_hstu_config(net, tp: int) -> HSTUConfig:
+def build_hstu_config(net, tp: int, sequence_parallel: bool = False) -> HSTUConfig:
     return HSTUConfig(
+        sequence_parallel=sequence_parallel and tp > 1,
         hidden_size=net.hidden_size,
         num_layers=net.num_layers,
         num_attention_heads=net.num_attention_heads,
@@ -154,7 +155,10 @@ def main(argv=None):
     mesh = make_mesh(dp=-1, tp=tp) if (n_dev > 1 or tp > 1) else None
     dp = 1 if mesh is None else mesh.shape["data"]
 
-    hstu_cfg = build_hstu_config(net, tpa.tensor_model_parallel_size)
+    hstu_cfg = build_hstu_config(
+        net, tpa.tensor_model_parallel_size,
+        sequence_parallel=getattr(tpa, "sequence_parallel", False),
+    )
     task_cfg = RankingConfig(
         embedding_configs=()
         if demb.use_dynamic_embedding
@@ -188,16 +192,20 @@ def main(argv=None):
         )
         sparse["item"] = ShardedDynamicEmbedding(table, mesh=mesh)
         hybrid = None
-        if demb.caching and mesh is None:
+        if demb.caching:
             # device table as cache over a host tier: a host-side prefetch
             # stage onboards each batch's missing rows before the jitted
             # step so it never misses (reference: prefetch pipeline,
-            # train_pipeline.py:862 + dynamicemb_prefetch)
+            # train_pipeline.py:862 + dynamicemb_prefetch). Composes with
+            # the row-sharded path: under a mesh each rank's shard caches
+            # the keys it owns and prefetch routes per-owner buckets
+            # (reference: HybridStorage under row-wise sharding,
+            # key_value_table.py:2107).
             from recsys_examples_tpu.dynamicemb.hybrid_storage import (
                 HybridDynamicEmbedding,
             )
 
-            hybrid = HybridDynamicEmbedding(table)
+            hybrid = HybridDynamicEmbedding(table, mesh=mesh)
         if ds.action_vocab_size > 0:
             atable = DynamicEmbeddingTable(
                 DynamicEmbTableOptions(
@@ -331,11 +339,14 @@ def main(argv=None):
                 {n: t.table for n, t in sparse.items()},
             )
         if trainer_args.eval_interval and (i + 1) % trainer_args.eval_interval == 0:
-            run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args)
+            run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args,
+                     iters=getattr(trainer_args, "eval_iters", 8),
+                     mesh=mesh)
 
     total = time.perf_counter() - t_start
     print_rank_0(f"done: {total:.1f}s, final loss {losses[-1]:.5f}")
-    run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args)
+    run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args,
+             iters=getattr(trainer_args, "eval_iters", 8), mesh=mesh)
     return state
 
 
@@ -370,15 +381,22 @@ def eval_batches(ds, trainer_args, iters):
     )
 
 
-def run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args, iters=8):
+def run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args, iters=8,
+             mesh=None):
+    import contextlib
+
     num_tasks = rank_args.num_tasks
     auc = AUCState.init(num_tasks)
     nb = 0
-    for batch in eval_batches(ds, trainer_args, iters):
-        loss, aux = eval_fn(state, batch)
-        labels01 = decode_bits(aux["labels"], num_tasks)
-        auc = auc_update(auc, aux["logits"], labels01, aux["valid"])
-        nb += 1
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else (
+        contextlib.nullcontext()
+    )
+    with mesh_ctx:
+        for batch in eval_batches(ds, trainer_args, iters):
+            loss, aux = eval_fn(state, batch)
+            labels01 = decode_bits(aux["labels"], num_tasks)
+            auc = auc_update(auc, aux["logits"], labels01, aux["valid"])
+            nb += 1
     vals = np.asarray(auc_compute(auc))
     global LAST_EVAL_AUC
     LAST_EVAL_AUC = vals

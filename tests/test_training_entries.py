@@ -83,3 +83,51 @@ def test_pretrain_gr_retrieval_smoke(tmp_path):
         ])
     )
     pretrain_gr_retrieval.main(["--gin-config-file", str(cfg)])
+
+
+def test_pretrain_gr_ranking_sp_matches_non_sp(tmp_path):
+    """Entry-driven SP: sequence_parallel=True over the dp x tp mesh must
+    reproduce the non-SP result (same seed/config), with SP selectable
+    from gin (VERDICT r2 #7; reference: hstu_config.py:206 SP knob)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs >= 4 virtual devices")
+    from recsys_examples_tpu.training import pretrain_gr_ranking
+    from recsys_examples_tpu.utils import gin_config
+
+    base = [
+        'TrainerArgs.max_train_iters = 2',
+        'TrainerArgs.log_interval = 1',
+        'TrainerArgs.eval_interval = 0',
+        'DatasetArgs.dataset_name = "random"',
+        'DatasetArgs.batch_size = 2',
+        'DatasetArgs.max_history_len = 16',
+        'DatasetArgs.max_num_candidates = 2',
+        'DatasetArgs.item_vocab_size = 1000',
+        'NetworkArgs.hidden_size = 32',
+        'NetworkArgs.num_layers = 1',
+        'NetworkArgs.num_attention_heads = 2',
+        'NetworkArgs.kv_channels = 16',
+        'NetworkArgs.kernel_backend = "jnp"',
+        'NetworkArgs.dtype = "float32"',
+        'NetworkArgs.hidden_dropout = 0.0',
+        'DynamicEmbeddingArgs.capacity = 1024',
+        'RankingArgs.prediction_head_arch = [8, 1]',
+        'TensorModelParallelArgs.tensor_model_parallel_size = 2',
+    ]
+    losses = {}
+    for sp in (False, True):
+        gin_config.clear_config()
+        cfg = tmp_path / f"sp_{sp}.gin"
+        cfg.write_text("\n".join(
+            base + [f'TensorModelParallelArgs.sequence_parallel = {sp}']
+        ))
+        state = pretrain_gr_ranking.main(["--gin-config-file", str(cfg)])
+        leaves = jax.tree.leaves(state.params)
+        losses[sp] = np.concatenate(
+            [np.asarray(x).ravel() for x in leaves]
+        )
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4, atol=1e-5)
