@@ -4,7 +4,15 @@ Counterpart of the reference kernel benchmark
 (examples/hstu/training/benchmark/README.md:131 — P10 TFLOPS/MFU heatmaps
 over batch {1..128} x seqlen {128..16384}).
 
-Usage: python benchmarks/benchmark_hstu_attn.py [--bwd] [--full]
+Usage:
+  python benchmarks/benchmark_hstu_attn.py [--bwd] [--full]      # 6 cells
+  python benchmarks/benchmark_hstu_attn.py --grid [--bwd]        # heatmap
+    batch {1,4,8,16,32} x seqlen {256..8192}, full-length rows, JSON grid
+    written to benchmarks/results/attn_heatmap_{fwd|bwd}.json
+
+Each timed sample chains CHAIN kernel calls inside one jit (inputs
+perturbed per link to defeat LICM hoisting) so the ~3 ms per-dispatch
+axon-tunnel latency is amortized out of small cells.
 Emits one JSON object per (batch, seqlen) cell.
 """
 import argparse
@@ -25,8 +33,10 @@ import numpy as np
 from recsys_examples_tpu.ops.pallas.hstu_attention import hstu_attn_varlen
 from recsys_examples_tpu.utils.perf import device_peak_tflops
 
+CHAIN = 4  # kernel calls per dispatch
 
-def run_cell(B, N, H, D, bwd, zipf, iters=10):
+
+def run_cell(B, N, H, D, bwd, zipf, iters=8):
     rng = np.random.default_rng(0)
     if zipf:
         lengths = np.minimum(rng.zipf(1.2, B) * max(N // 40, 1), N)
@@ -43,27 +53,57 @@ def run_cell(B, N, H, D, bwd, zipf, iters=10):
     q, k, v = mk(), mk(), mk()
     aux = (jnp.asarray(offs), None, None)
 
+    def one(qq, kk, vv):
+        return hstu_attn_varlen(
+            qq, kk, vv, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N
+        )
+
     if bwd:
-        f = jax.jit(jax.grad(
-            lambda q, k, v: hstu_attn_varlen(
-                q, k, v, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N
-            ).astype(jnp.float32).sum(),
+        g = jax.grad(
+            lambda qq, kk, vv: one(qq, kk, vv).astype(jnp.float32).sum(),
             argnums=(0, 1, 2),
-        ))
+        )
+
+        def chained(q, k, v):
+            def body(i, carry):
+                qq, acc = carry
+                dq, dk, dv = g(qq, k, v)
+                acc = acc + dq[0, 0, 0].astype(jnp.float32)
+                # perturb the input per link so XLA cannot hoist the
+                # loop-invariant chain out (LICM trap — see repo notes)
+                qq = q + (acc * 1e-12).astype(q.dtype)
+                return qq, acc
+            _, acc = jax.lax.fori_loop(
+                0, CHAIN, body, (q, jnp.float32(0))
+            )
+            return acc
     else:
-        f = jax.jit(lambda q, k, v: hstu_attn_varlen(
-            q, k, v, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N
-        ))
+        def chained(q, k, v):
+            def body(i, carry):
+                qq, acc = carry
+                out = one(qq, k, v)
+                acc = acc + out[0, 0, 0].astype(jnp.float32)
+                qq = q + (acc * 1e-12).astype(q.dtype)
+                return qq, acc
+            _, acc = jax.lax.fori_loop(
+                0, CHAIN, body, (q, jnp.float32(0))
+            )
+            return acc
+
+    f = jax.jit(chained)
     jax.block_until_ready(f(q, k, v))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         jax.block_until_ready(f(q, k, v))
-        ts.append(time.perf_counter() - t0)
+        ts.append((time.perf_counter() - t0) / CHAIN)
     el = float(np.percentile(ts, 10))
     fl = float((2.0 * 2.0 * H * D * (lengths.astype(np.float64) ** 2) / 2).sum())
     if bwd:
-        fl *= 2.0  # dq + dk/dv passes
+        # jax.grad runs fwd + bwd; semantic FLOPs = 3.5x fwd (flash
+        # convention, same as the e2e model's attention accounting) —
+        # the bwd kernels' score recompute is NOT credited
+        fl *= 3.5
     return el, fl / el / 1e12, int(lengths.sum())
 
 
@@ -71,10 +111,50 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bwd", action="store_true")
     p.add_argument("--full", action="store_true", help="full-length (no Zipf)")
+    p.add_argument("--grid", action="store_true",
+                   help="batch x seqlen heatmap, write JSON artifact")
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--dim", type=int, default=256)
     args = p.parse_args()
     peak = device_peak_tflops()
+    mode = "bwd" if args.bwd else "fwd"
+
+    if args.grid:
+        batches = (1, 4, 8, 16, 32)
+        seqlens = (256, 512, 1024, 2048, 4096, 8192)
+        cells = []
+        for B in batches:
+            for N in seqlens:
+                if B * N > 32 * 8192:   # HBM guard (same cap as ref grid)
+                    continue
+                el, tflops, tokens = run_cell(
+                    B, N, args.heads, args.dim, args.bwd, zipf=False
+                )
+                cell = {
+                    "batch": B, "max_seqlen": N, "tokens": tokens,
+                    "p10_ms": round(el * 1e3, 3),
+                    "tflops": round(tflops, 2),
+                    "mfu_pct": round(100 * tflops / peak, 2),
+                }
+                cells.append(cell)
+                print(json.dumps({"bench": "hstu_attn_kernel",
+                                  "mode": mode, **cell}), flush=True)
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results",
+        )
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(out, f"attn_heatmap_{mode}.json")
+        with open(path, "w") as fh:
+            json.dump({
+                "bench": "hstu_attn_kernel_heatmap", "mode": mode,
+                "heads": args.heads, "head_dim": args.dim,
+                "dtype": "bfloat16", "peak_tflops": peak,
+                "device": jax.devices()[0].device_kind,
+                "cells": cells,
+            }, fh, indent=1)
+        print(f"# wrote {path}")
+        return
+
     for B in (8, 32):
         for N in (512, 2048, 8192):
             el, tflops, tokens = run_cell(
@@ -82,7 +162,7 @@ def main():
             )
             print(json.dumps({
                 "bench": "hstu_attn_kernel",
-                "mode": "bwd" if args.bwd else "fwd",
+                "mode": mode,
                 "batch": B, "max_seqlen": N, "tokens": tokens,
                 "p10_ms": round(el * 1e3, 3),
                 "tflops": round(tflops, 2),

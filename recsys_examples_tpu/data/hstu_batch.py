@@ -76,13 +76,19 @@ def random_hstu_batch(
     zipf_a: float = 1.2,
     full_capacity: bool = False,
     token_capacity: int = 0,
+    value_zipf: Optional[Mapping[str, float]] = None,
 ) -> HSTUBatch:
     """Synthetic batch with Zipf-distributed history lengths
     (reference: hstu_batch.py:376 `HSTUBatch.random`).
 
     `full_capacity=True` makes every sequence max-length (for benchmarking
-    the dense-compute upper bound)."""
+    the dense-compute upper bound).
+    `value_zipf`: feature name -> alpha; those features draw their ids from
+    Zipf(alpha) folded into the vocab (hot-key skew; the reference E2E
+    benchmark uses Zipf(1.05) ids for item/user_id via
+    `FeatureArgs.value_dists` — hstu_batch.py:42 RandomDistribution)."""
     rng = np.random.default_rng(seed)
+    value_zipf = value_zipf or {}
     if full_capacity:
         hist = np.full((batch_size,), max_history_len, np.int32)
     else:
@@ -106,10 +112,14 @@ def random_hstu_batch(
         assert token_capacity >= total, (token_capacity, total)
         cap = min(cap, token_capacity)
 
-    def mk_ids(lengths, capacity, vocab):
+    def mk_ids(lengths, capacity, vocab, zipf_alpha=None):
         total = int(lengths.sum())
         vals = np.zeros((capacity,), np.int64)
-        vals[:total] = rng.integers(0, vocab, size=(total,))
+        if zipf_alpha is not None:
+            draw = rng.zipf(zipf_alpha, size=(total,)).astype(np.int64)
+            vals[:total] = (draw - 1) % vocab
+        else:
+            vals[:total] = rng.integers(0, vocab, size=(total,))
         offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
         return JaggedIds(
             values=jnp.asarray(vals),
@@ -118,19 +128,21 @@ def random_hstu_batch(
             max_len=int(capacity // batch_size),
         )
 
-    features = {"item": mk_ids(item_len, cap, item_vocab)}
+    features = {"item": mk_ids(item_len, cap, item_vocab, value_zipf.get("item"))}
     feature_to_max_seqlen = {"item": item_max}
     action_name = None
     if action_vocab > 0:
         action_name = "action"
-        features["action"] = mk_ids(item_len, cap, action_vocab)
+        features["action"] = mk_ids(
+            item_len, cap, action_vocab, value_zipf.get("action")
+        )
         feature_to_max_seqlen["action"] = item_max
     ctx_names = ()
     if contextual_vocabs:
         ctx_names = tuple(contextual_vocabs.keys())
         for name, vocab in contextual_vocabs.items():
             ln = np.ones((batch_size,), np.int32)
-            features[name] = mk_ids(ln, batch_size, vocab)
+            features[name] = mk_ids(ln, batch_size, vocab, value_zipf.get(name))
             feature_to_max_seqlen[name] = 1
 
     if ncand is not None:

@@ -28,8 +28,10 @@ Design (TPU-first, not a port):
     recomputing scores on the fly — SiLU attention has no softmax stats,
     so recompute is cheap and no residual beyond q/k/v is needed.
 
-Not yet implemented vs the reference contract: rab/drab (relative
-attention bias) and FP8 quantization modes.
+rab/drab (relative attention bias + its gradient) are implemented by
+`hstu_attn_varlen_rab` below. Quantized attention exists as an int8
+per-tensor forward (`hstu_attn_varlen_quantized_calibrated`) — measured
+conversion-bound on v5e, so it is NOT a perf feature; see README.
 """
 from __future__ import annotations
 

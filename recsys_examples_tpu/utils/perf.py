@@ -35,6 +35,60 @@ def device_peak_tflops() -> float:
     return 197.0
 
 
+def hstu_flops_exact(
+    seqlens: np.ndarray,                    # [B] POST-preprocess lengths
+    num_contextuals: "np.ndarray | int",    # [B] or scalar
+    num_candidates: "np.ndarray | int",     # [B] or scalar
+    hidden_size: int,
+    num_heads: int,
+    head_dim: int,
+    num_layers: int,
+    *,
+    has_bwd: bool = True,
+    is_causal: bool = True,
+    residual: bool = True,
+) -> float:
+    """Exact HSTU-block FLOPs, identical accounting to the reference's
+    `cal_hstu_flops_single_rank` (examples/commons/utils/perf.py:540):
+
+      attention: contextual rows attend everywhere, history rows are
+        causal, candidate rows attend to contextual+history only
+        (mask regions modeled exactly); backward x3.5
+      GEMMs: uvqk fused projection + output projection; backward x3
+      other: the u*attn elementwise mul and the residual add
+
+    Using the same formula keeps this repo's MFU numbers directly
+    comparable to the reference's published E2E table.
+    """
+    S = np.asarray(seqlens, np.float64)
+    C = np.broadcast_to(np.asarray(num_contextuals, np.float64), S.shape)
+    Ncand = np.broadcast_to(np.asarray(num_candidates, np.float64), S.shape)
+    Nh = S - C - Ncand
+    D = float(hidden_size)
+    H = float(num_heads)
+    dh = float(head_dim)
+
+    attn = 4.0 * H * S * (C + Nh) * dh
+    if is_causal:
+        attn -= 2.0 * H * Nh * Nh * dh
+    attn += 4.0 * H * Ncand * dh
+    if has_bwd:
+        attn *= 3.5
+
+    gemm = 2.0 * S * 4.0 * H * dh * D   # fused uvqk projection fwd
+    gemm += 2.0 * S * H * dh * D        # output projection fwd
+    if has_bwd:
+        gemm *= 3.0
+
+    other = S * H * dh                  # u * attn_out elementwise mul fwd
+    if has_bwd:
+        other *= 2.0
+    if residual:
+        other += S * H * D              # residual add (bwd is a no-op)
+
+    return float((attn + gemm + other).sum() * num_layers)
+
+
 def hstu_train_flops(
     seqlens: np.ndarray,       # [B] preprocessed sequence lengths (tokens)
     hidden_size: int,
@@ -45,14 +99,9 @@ def hstu_train_flops(
     causal: bool = True,
     fwd_only: bool = False,
 ) -> float:
-    """Total FLOPs of the HSTU block for one batch (fwd+bwd unless fwd_only).
-
-    Per layer per sequence of n tokens:
-      uvqk GEMM: 2 * n * D * 4*H*dh
-      attention: qk + pv = 2 * 2 * H * dh * n^2 ( /2 if causal)
-      out proj:  2 * n * H*dh * D
-    Backward ~ 2x forward (dgrad+wgrad for GEMMs; dq,dk,dv for attention).
-    """
+    """Simplified causal-only FLOPs model (no contextual/candidate mask
+    structure). Kept for quick estimates; benchmarks use
+    `hstu_flops_exact`, which mirrors the reference's accounting."""
     n = seqlens.astype(np.float64)
     D = hidden_size
     Hdh = num_heads * head_dim
