@@ -7,10 +7,20 @@ serialized `jax.export` StableHLO function — compiled once, replayed from
 any process (including non-Python launchers via the PJRT C API) without
 retracing Python.
 
-Two artifacts per export:
+Artifacts per export:
   <path>/dense_fwd.jaxexport  — serialized StableHLO of the dense forward
                                 (params are run-time inputs, not baked)
   <path>/params.msgpack       — flax-serialized dense parameters
+  <path>/dense_fwd.mlir       — raw StableHLO text for non-Python runtimes
+  <path>/replay_spec.txt      — flat input manifest (name/dtype/shape in
+                                call order) for csrc/pjrt_replay.cpp
+  <path>/inputs.bin           — concatenated row-major input payloads
+                                (real params; zero runtime tensors)
+
+The .mlir + spec + bin triple is what the standalone C++ deployment
+binary (csrc/pjrt_replay.cpp) consumes through the PJRT C API — the
+reference's AOTI cpp_inference analogue with no Python in the serving
+process.
 """
 from __future__ import annotations
 
@@ -83,7 +93,46 @@ def export_ranking_dense(
         f.write(exported.serialize())
     with open(os.path.join(path, "params.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(plain))
+    write_replay_artifacts(
+        path, "dense_fwd", exported, shapes, values=(plain,)
+    )
     return art
+
+
+_SPEC_DTYPE = {
+    "float32": "f32", "bfloat16": "bf16", "float16": "f16",
+    "float64": "f64", "int32": "s32", "int64": "s64", "int16": "s16",
+    "int8": "s8", "uint32": "u32", "uint64": "u64", "uint16": "u16",
+    "uint8": "u8", "bool": "pred",
+}
+
+
+def write_replay_artifacts(path, name, exported, shapes, values=()):
+    """Emit the C++ replay triple (.mlir / replay_spec.txt / inputs.bin)
+    for `exported`. `shapes` is the arg tree passed to jax.export;
+    `values` is a prefix of the SAME tree structure with concrete arrays
+    (the params) — serialized into inputs.bin in call order; remaining
+    inputs are zero-filled by the replayer."""
+    with open(os.path.join(path, f"{name}.mlir"), "w") as f:
+        f.write(exported.mlir_module())
+    flat_shapes = jax.tree.leaves(shapes)
+    flat_vals = jax.tree.leaves(values)
+    lines = [
+        "# pjrt_replay input manifest — flattened call-order args of "
+        f"{name}.mlir",
+        "data inputs.bin",
+    ]
+    with open(os.path.join(path, "inputs.bin"), "wb") as bf:
+        for i, s in enumerate(flat_shapes):
+            dt = _SPEC_DTYPE[np.dtype(s.dtype).name]
+            dims = ",".join(str(d) for d in s.shape) if s.shape else "-"
+            lines.append(f"input arg{i} {dt} {dims}")
+            if i < len(flat_vals):
+                arr = np.ascontiguousarray(flat_vals[i])
+                assert arr.shape == tuple(s.shape), (arr.shape, s.shape)
+                bf.write(arr.tobytes())
+    with open(os.path.join(path, "replay_spec.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 class ExportedRankingDense:

@@ -87,6 +87,50 @@ def test_export_roundtrip(runner, tmp_path):
     )
 
 
+def test_replay_artifacts_and_cpp_dry_run(runner, tmp_path):
+    """The C++ deployment triple (.mlir / replay_spec.txt / inputs.bin)
+    is emitted alongside the jaxexport, the spec's flattened byte layout
+    matches inputs.bin's param prefix, and csrc/pjrt_replay parses it
+    (reference analogue: inference_aoti/cpp_inference)."""
+    import os
+    import subprocess
+
+    from recsys_examples_tpu.inference.export import export_ranking_dense
+
+    B, S, NC = 2, 8, 16
+    export_ranking_dense(runner, B, S, NC, str(tmp_path))
+    mlir = (tmp_path / "dense_fwd.mlir").read_text()
+    assert "stablehlo" in mlir or "mhlo" in mlir or "func.func" in mlir
+    lines = (tmp_path / "replay_spec.txt").read_text().splitlines()
+    inputs = [ln.split() for ln in lines if ln.startswith("input ")]
+    # params (flattened) + the 6 runtime args
+    n_params = len(jax.tree.leaves(runner.dense_params))
+    assert len(inputs) == n_params + 6
+    width = {"f32": 4, "bf16": 2, "s32": 4, "s64": 8}
+    param_bytes = 0
+    for _, _, dt, dims in inputs[:n_params]:
+        n = 1
+        for d in (dims.split(",") if dims != "-" else ()):
+            n *= int(d)
+        param_bytes += n * width[dt]
+    assert (tmp_path / "inputs.bin").stat().st_size == param_bytes
+
+    binary = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "csrc", "pjrt_replay",
+    )
+    if not os.path.exists(binary):
+        pytest.skip("csrc/pjrt_replay not built")
+    out = subprocess.run(
+        [binary, "--module", str(tmp_path / "dense_fwd.mlir"),
+         "--spec", str(tmp_path / "replay_spec.txt"), "--dry-run"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert '"mode": "dry-run"' in out.stdout
+    assert f'"inputs": {n_params + 6}' in out.stdout
+
+
 def test_ranking_server_batched(runner):
     from recsys_examples_tpu.inference.hstu_serving import RankingServer
 
