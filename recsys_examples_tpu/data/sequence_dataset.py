@@ -358,7 +358,10 @@ def sequence_dataset_iterator(ds_args, trainer_args) -> Iterator[HSTUBatch]:
     )
 
 
-def make_sequence_dataset(ds_args) -> "SequenceDataset":
+def make_sequence_dataset(ds_args, max_num_candidates=None) -> "SequenceDataset":
+    """`max_num_candidates` overrides ds_args (used by the eval loop:
+    train on the last-N candidates of the train split, but score the
+    holdout alone so eval labels never overlap training labels)."""
     label_mode = (
         "action_bits" if ds_args.dataset_name.startswith("kuairand")
         else "rating_ge4"
@@ -366,7 +369,8 @@ def make_sequence_dataset(ds_args) -> "SequenceDataset":
     return SequenceDataset(
         ds_args.dataset_path,
         max_history_len=ds_args.max_history_len,
-        max_num_candidates=ds_args.max_num_candidates,
+        max_num_candidates=ds_args.max_num_candidates
+        if max_num_candidates is None else max_num_candidates,
         num_tasks=ds_args.num_tasks,
         action_vocab_size=ds_args.action_vocab_size,
         label_mode=label_mode,

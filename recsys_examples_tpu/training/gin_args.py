@@ -37,6 +37,11 @@ class DatasetArgs:
     batch_size: int = 32              # per data-parallel shard
     max_history_len: int = 1024
     max_num_candidates: int = 0
+    # eval-time candidate count; 0 = same as max_num_candidates. Set to 1
+    # with a larger train candidate window (the reference trains ml-20m
+    # with max_num_candidates=20) so eval scores ONLY the true holdout and
+    # never re-scores train-labeled candidates.
+    eval_max_num_candidates: int = 0
     item_vocab_size: int = 1_000_000
     action_vocab_size: int = 0
     contextual_feature_names: Tuple[str, ...] = ()

@@ -359,6 +359,9 @@ def eval_batches(ds, trainer_args, iters):
     """Real holdout batches for file-backed datasets; synthetic only for
     dataset_name == "random" (reference: the eval loop iterates the eval
     dataloader, trainer/training.py:42)."""
+    nc_eval = getattr(ds, "eval_max_num_candidates", 0) or (
+        ds.max_num_candidates
+    )
     if ds.dataset_name == "random":
         for j in range(iters):
             yield random_hstu_batch(
@@ -367,7 +370,7 @@ def eval_batches(ds, trainer_args, iters):
                 max_history_len=ds.max_history_len,
                 item_vocab=ds.item_vocab_size,
                 action_vocab=ds.action_vocab_size,
-                max_num_candidates=ds.max_num_candidates,
+                max_num_candidates=nc_eval,
                 num_tasks=ds.num_tasks,
             )
         return
@@ -375,7 +378,7 @@ def eval_batches(ds, trainer_args, iters):
         make_sequence_dataset,
     )
 
-    sd = make_sequence_dataset(ds)
+    sd = make_sequence_dataset(ds, max_num_candidates=nc_eval)
     yield from sd.batches(
         ds.batch_size, train=False, seed=0, shuffle=False
     )
