@@ -170,6 +170,46 @@ def test_http_predict(runner):
             body = await r.json()
             assert len(body["scores"]) == 2
             r = await client.get("/metrics")
-            assert (await r.json())["requests"] == 1
+            m = await r.json()
+            assert m["completed"] == 1
+            assert m["engine"]["requests"] == 1
+
+    asyncio.run(drive())
+
+
+def test_dynamic_batcher_coalesces_and_times_out(runner):
+    """Triton-analogue dynamic batching (VERDICT r2 weak #10): concurrent
+    submits inside the delay window coalesce into ONE engine batch;
+    deadline-passed requests get RequestTimeoutError; a full queue
+    rejects with QueueFullError."""
+    import asyncio
+
+    from recsys_examples_tpu.inference.hstu_serving import (
+        DynamicBatcher,
+        QueueFullError,
+        RankingServer,
+        RequestTimeoutError,
+    )
+
+    srv = RankingServer(runner, max_batch=8, seq_buckets=(8, 16))
+
+    async def drive():
+        b = DynamicBatcher(srv, batch_window_ms=50.0)
+        seq = np.arange(1, 7, dtype=np.int64)
+        outs = await asyncio.gather(
+            *(b.submit(u, seq, 2) for u in range(5))
+        )
+        assert all(len(o) == 2 for o in outs)
+        m = b.get_metrics()
+        assert m["engine_batches"] == 1, m     # coalesced
+        assert m["avg_batch_size"] == 5.0
+        # deadline already passed -> timeout surfaced, engine untouched
+        with pytest.raises(RequestTimeoutError):
+            await b.submit(9, seq, 1, timeout_s=-1.0)
+        assert b.get_metrics()["timed_out"] == 1
+        # backpressure: tiny queue capacity rejects the overflow synchronously
+        b2 = DynamicBatcher(srv, max_queue=0)
+        with pytest.raises(QueueFullError):
+            await b2.submit(1, seq, 1)
 
     asyncio.run(drive())
