@@ -86,6 +86,83 @@ class LogitsProcessorChain(LogitsProcessor):
         return bool(self.processors)
 
 
+@dataclasses.dataclass(frozen=True)
+class TokenSuppressProcessor(LogitsProcessor):
+    """-inf the listed token ids, optionally only at the listed hierarchy
+    steps (reference: TokenSuppressLogitsProcessor with phases;
+    gr_runtime/logits_processor.py:28). `steps=None` = every step."""
+
+    token_ids: Tuple[int, ...] = ()
+    steps: Optional[Tuple[int, ...]] = None
+    fill_value: float = -jnp.inf
+
+    def __call__(self, step, logp, paths):
+        if not self.token_ids:
+            return logp
+        if self.steps is not None and step not in self.steps:
+            return logp
+        ids = jnp.asarray(self.token_ids, jnp.int32)
+        mask = jnp.zeros((logp.shape[-1],), bool).at[ids].set(True)
+        return jnp.where(mask, self.fill_value, logp)
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenBiasProcessor(LogitsProcessor):
+    """Additive per-token log-prob bias (reference:
+    TokenBiasLogitsProcessor, gr_runtime/logits_processor.py:63).
+    `token_bias` maps token id -> additive bias."""
+
+    token_bias: Tuple[Tuple[int, float], ...] = ()
+    steps: Optional[Tuple[int, ...]] = None
+
+    def __call__(self, step, logp, paths):
+        if not self.token_bias:
+            return logp
+        if self.steps is not None and step not in self.steps:
+            return logp
+        bias = jnp.zeros((logp.shape[-1],), logp.dtype)
+        ids = jnp.asarray([t for t, _ in self.token_bias], jnp.int32)
+        vals = jnp.asarray([b for _, b in self.token_bias], logp.dtype)
+        return logp + bias.at[ids].add(vals)
+
+
+def processor_from_spec(spec: dict) -> LogitsProcessor:
+    """Build a processor from an HTTP/request JSON spec (reference:
+    logits_processor_from_spec — same type aliases and keys)."""
+    ptype = spec.get("type")
+    steps = spec.get("steps")
+    steps = None if steps is None else tuple(int(s) for s in steps)
+    if ptype in ("token_suppress", "suppress_tokens", "bad_tokens"):
+        ids = spec.get("token_ids", spec.get("suppressed_token_ids"))
+        if ids is None:
+            raise ValueError("token_suppress requires token_ids")
+        return TokenSuppressProcessor(
+            tuple(int(t) for t in ids), steps=steps,
+            fill_value=float(spec.get("fill_value", -jnp.inf)),
+        )
+    if ptype in ("token_bias", "bias_tokens"):
+        bias = spec.get("token_bias", spec.get("biases"))
+        if bias is None:
+            raise ValueError("token_bias requires token_bias")
+        items = bias.items() if hasattr(bias, "items") else bias
+        return TokenBiasProcessor(
+            tuple((int(t), float(b)) for t, b in items), steps=steps,
+        )
+    if ptype == "temperature":
+        return TemperatureProcessor(float(spec.get("temperature", 1.0)))
+    if ptype == "top_k":
+        return TopKProcessor(int(spec.get("k", 0)))
+    raise ValueError(f"unsupported logits processor type: {ptype!r}")
+
+
+def processors_from_specs(specs) -> LogitsProcessorChain:
+    if specs is None:
+        return LogitsProcessorChain(())
+    return LogitsProcessorChain(
+        tuple(processor_from_spec(s) for s in specs)
+    )
+
+
 def make_chain(
     temperature: float = 1.0,
     top_k: int = 0,

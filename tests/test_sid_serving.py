@@ -113,3 +113,29 @@ def test_score_margin_policy_and_prefix_cache():
     res2 = sched.get_result(r2)
     assert res2 and res2.get("cached") is True
     assert res2["sids"] == res1["sids"]
+
+
+def test_logits_processor_specs_and_builtin_processors():
+    """Spec-built processors match the reference's pipeline semantics
+    (gr_runtime/logits_processor.py: token_suppress/token_bias with
+    phase gating, spec type aliases)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recsys_examples_tpu.inference.sid_serving.logits_processor import (
+        processors_from_specs,
+    )
+
+    chain = processors_from_specs([
+        {"type": "suppress_tokens", "token_ids": [1, 3], "steps": [0]},
+        {"type": "token_bias", "token_bias": {"2": 0.5}},
+        {"type": "temperature", "temperature": 0.5},
+    ])
+    logp = jnp.log(jnp.full((1, 1, 4), 0.25))
+    out0 = np.asarray(chain(0, logp, jnp.zeros((1, 1, 0), jnp.int32)))[0, 0]
+    assert np.isneginf(out0[[1, 3]]).all()          # suppressed at step 0
+    assert out0[2] > out0[0]                        # bias applied
+    out1 = np.asarray(chain(1, logp, jnp.zeros((1, 1, 1), jnp.int32)))[0, 0]
+    assert np.isfinite(out1[[1, 3]]).all()          # step gate: only step 0
+    # temperature renormalizes: still a log-prob distribution
+    assert abs(np.exp(out1).sum() - 1.0) < 1e-5
