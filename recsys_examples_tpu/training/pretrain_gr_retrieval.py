@@ -120,6 +120,22 @@ def main(argv=None):
             world_size=dp,
         )
         sparse["item"] = ShardedDynamicEmbedding(table, mesh=mesh)
+        if ds.action_vocab_size > 0:
+            # action table for item/action-interleaved histories (same
+            # wiring as the ranking entry)
+            atable = DynamicEmbeddingTable(
+                DynamicEmbTableOptions(
+                    embedding_dim=net.hidden_size,
+                    max_capacity=1 << 12,
+                    bucket_capacity=demb.bucket_capacity,
+                ),
+                SparseOptimizerArgs(
+                    optimizer=demb.optimizer,
+                    learning_rate=demb.learning_rate,
+                ),
+                world_size=dp,
+            )
+            sparse["action"] = ShardedDynamicEmbedding(atable, mesh=mesh)
 
     model = RetrievalGR(hstu_cfg, task_cfg)
     trainer = GRTrainer(
@@ -196,21 +212,42 @@ def main(argv=None):
     return state
 
 
+LAST_EVAL = None
+EVAL_HISTORY = []
+
+
+def _eval_batches(ds, trainer_args, iters):
+    """Holdout batches for file datasets (leave-one-out: the target is
+    the true held-out next item); synthetic random otherwise."""
+    if ds.dataset_name == "random":
+        for j in range(iters):
+            yield random_hstu_batch(
+                seed=77771 + j,
+                batch_size=ds.batch_size,
+                max_history_len=ds.max_history_len,
+                item_vocab=ds.item_vocab_size,
+                action_vocab=ds.action_vocab_size,
+                max_num_candidates=ds.max_num_candidates,
+                num_tasks=ds.num_tasks,
+            )
+        return
+    from recsys_examples_tpu.data.sequence_dataset import (
+        make_sequence_dataset,
+    )
+
+    nc_eval = getattr(ds, "eval_max_num_candidates", 0) or (
+        ds.max_num_candidates
+    )
+    sd = make_sequence_dataset(ds, max_num_candidates=nc_eval)
+    yield from sd.batches(ds.batch_size, train=False, seed=0, shuffle=False)
+
+
 def run_eval(eval_fn, state, ds, trainer_args, ret_args, iters=8):
     """Rank the true next item among in-batch targets
     (reference: RetrievalTaskMetricWithSampling — sampled corpus)."""
     ks = _parse_ks(ret_args.eval_metrics)
     mstate = RetrievalMetricState.init(len(ks))
-    for j in range(iters):
-        batch = random_hstu_batch(
-            seed=77771 + j,
-            batch_size=ds.batch_size,
-            max_history_len=ds.max_history_len,
-            item_vocab=ds.item_vocab_size,
-            action_vocab=ds.action_vocab_size,
-            max_num_candidates=ds.max_num_candidates,
-            num_tasks=ds.num_tasks,
-        )
+    for batch in _eval_batches(ds, trainer_args, iters):
         _, aux = eval_fn(state, batch)
         q = aux["query_emb"].astype(jnp.float32)          # [Tq, D]
         tids = aux["target_ids"]
@@ -227,6 +264,9 @@ def run_eval(eval_fn, state, ds, trainer_args, ret_args, iters=8):
         rank = 1 + better.sum(axis=1)
         mstate = retrieval_update(mstate, rank, valid, ks)
     vals = retrieval_compute(mstate, ks)
+    global LAST_EVAL
+    LAST_EVAL = {k: float(v) for k, v in vals.items()}
+    EVAL_HISTORY.append(LAST_EVAL)
     print_rank_0(
         "eval " + ", ".join(f"{k}={float(v):.4f}" for k, v in vals.items())
     )

@@ -134,6 +134,7 @@ def main():
     from recsys_examples_tpu.utils import gin_config
 
     wd = args.workdir or tempfile.mkdtemp(prefix="convergence_")
+    os.makedirs(wd, exist_ok=True)
     ratings = os.path.join(wd, "ratings.dat")
     npz = os.path.join(wd, "seq.npz")
     bayes_auc, item_cluster = gen_ratings(
