@@ -115,6 +115,11 @@ def main():
     ap.add_argument("--users", type=int, default=2000)
     ap.add_argument("--candidates", type=int, default=8,
                     help="train-time candidate window (eval always 1)")
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="eval cadence in iters (0 = iters//8); best-AUC "
+                         "needs a cadence finer than the overfit onset")
     ap.add_argument("--log-every", type=int, default=100)
     args = ap.parse_args()
 
@@ -151,7 +156,8 @@ def main():
         f.write("\n".join([
             f"TrainerArgs.max_train_iters = {args.iters}",
             f"TrainerArgs.log_interval = {args.log_every}",
-            f"TrainerArgs.eval_interval = {max(args.iters // 8, 1)}",
+            f"TrainerArgs.eval_interval = "
+            f"{args.eval_every or max(args.iters // 8, 1)}",
             'DatasetArgs.dataset_name = "synthetic-movielens"',
             f'DatasetArgs.dataset_path = "{npz}"',
             "DatasetArgs.batch_size = 64",
@@ -167,11 +173,15 @@ def main():
             "NetworkArgs.num_layers = 2",
             "NetworkArgs.num_attention_heads = 2",
             "NetworkArgs.kv_channels = 64",
-            "NetworkArgs.hidden_dropout = 0.1",
+            f"NetworkArgs.hidden_dropout = {args.dropout}",
             f'NetworkArgs.kernel_backend = "{kernel}"',
             f'NetworkArgs.dtype = "{dtype}"',
             "NetworkArgs.position_num_buckets = 256",
             f"OptimizerArgs.learning_rate = {args.lr}",
+            f"OptimizerArgs.weight_decay = {args.weight_decay}",
+            # weight decay only acts through adamw
+            f'OptimizerArgs.optimizer_str = '
+            f'"{"adamw" if args.weight_decay else "adam"}"',
             "DynamicEmbeddingArgs.capacity = 8192",
             "DynamicEmbeddingArgs.bucket_capacity = 32",
             'DynamicEmbeddingArgs.optimizer = "rowwise_adagrad"',
