@@ -209,8 +209,15 @@ def shuffle_hstu_batch(batch, num_parts: int):
         kw["labels"] = jnp.asarray(lab2)
         kw["label_lengths"] = jnp.asarray(ll[perm])
     if batch.timestamps is not None:
-        # timestamps align with item values
-        kw["timestamps"] = jnp.asarray(
-            np.asarray(batch.timestamps)
-        )  # synthetic batches only; per-token reorder follows item feature
+        # timestamps align with item values -> apply the SAME jagged
+        # permutation as the item feature
+        ts = np.asarray(batch.timestamps)
+        offs = np.asarray(item.offsets)
+        new_lens = lengths[perm]
+        new_offs = np.concatenate([[0], np.cumsum(new_lens)])
+        out = np.zeros_like(ts)
+        for j, src in enumerate(perm):
+            n = new_lens[j]
+            out[new_offs[j]:new_offs[j] + n] = ts[offs[src]:offs[src] + n]
+        kw["timestamps"] = jnp.asarray(out)
     return dataclasses.replace(batch, features=feats, **kw)

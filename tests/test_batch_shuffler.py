@@ -102,3 +102,31 @@ def test_balanced_permutation_improves_balance():
     assert stats["balanced_max_over_mean"] <= stats["naive_max_over_mean"] + 1e-9
     perm = bs.balanced_permutation(seqlen, 8)
     assert sorted(perm.tolist()) == list(range(32))
+
+
+def test_shuffle_reorders_timestamps_with_items():
+    """Timestamps are jagged-aligned with item values; the balanced
+    shuffle must apply the SAME permutation (previously passed through
+    unreordered -> wrong per-token timestamps after shuffling)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from recsys_examples_tpu.data.hstu_batch import random_hstu_batch
+
+    b = random_hstu_batch(
+        seed=3, batch_size=8, max_history_len=32, item_vocab=1000,
+        max_num_candidates=0, num_tasks=1,
+    )
+    item = b.features["item"]
+    total = int(np.asarray(item.lengths).sum())
+    # timestamp = its item value, so alignment is directly checkable
+    ts = np.zeros(np.asarray(item.values).shape[0], np.int64)
+    ts[:total] = np.asarray(item.values)[:total]
+    b = dataclasses.replace(b, timestamps=jnp.asarray(ts))
+    out = bs.shuffle_hstu_batch(b, num_parts=4)
+    ov = np.asarray(out.features["item"].values)
+    ot = np.asarray(out.timestamps)
+    ol = np.asarray(out.features["item"].lengths)
+    n = int(ol.sum())
+    np.testing.assert_array_equal(ot[:n], ov[:n])
