@@ -107,6 +107,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--beam", type=int, default=16)
+    ap.add_argument("--steps-per-dispatch", type=int, nargs="+",
+                    default=[1, 2, 4],
+                    help="dispatch-coalescing factors to compare")
     args = ap.parse_args()
 
     import jax
@@ -139,11 +142,13 @@ def main():
         for n in rng.choice([2, 4, 8, 24], args.requests)
     ]
 
-    stepwise = ContinuousGRScheduler(
-        model, params, scfg, max_batch=8,
-        beam_policy=BeamPolicy(width=args.beam),
-    )
-    drive(stepwise, contexts, "stepwise-continuous")
+    for spd in args.steps_per_dispatch:
+        stepwise = ContinuousGRScheduler(
+            model, params, scfg, max_batch=8,
+            beam_policy=BeamPolicy(width=args.beam),
+            steps_per_dispatch=spd,
+        )
+        drive(stepwise, contexts, f"stepwise-continuous/spd={spd}")
 
     engine = GRServingEngine(model, params, scfg)
     batch_sched = GRContinuousScheduler(engine, max_batch=8)
