@@ -33,12 +33,17 @@ def qwen3_generate_beam(
     num_steps: int,
     beam_width: int,
     logits_mask_fn: Optional[Callable[[int, jax.Array], jax.Array]] = None,
+    logits_processor=None,
     backend: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (paths [B, W, num_steps], scores [B, W]).
 
     logits_mask_fn(step, paths_so_far [B, W, step]) -> additive mask
     [B, W, V] (0 = allowed, -inf = banned) for constrained decoding.
+    logits_processor: optional LogitsProcessor/chain
+    (inference/sid_serving/logits_processor.py) applied AFTER the mask —
+    the reference gr_runtime pipeline order (constraints are part of the
+    chain there; here the mask arg is kept for the constraint fast path).
     """
     cfg = model.config
     B = tokens.shape[0]
@@ -54,6 +59,12 @@ def qwen3_generate_beam(
     if logits_mask_fn is not None:
         logp0 = logp0 + logits_mask_fn(
             0, jnp.zeros((B, W, 0), jnp.int32)
+        )[:, 0]
+    if logits_processor is not None:
+        # one implicit beam at prefill (same contract as
+        # SIDGRModel.beam_prefill)
+        logp0 = logits_processor(
+            0, logp0[:, None, :], jnp.zeros((B, 1, 0), jnp.int32)
         )[:, 0]
     state = first_expand(state, logp0)
 
@@ -92,9 +103,12 @@ def qwen3_generate_beam(
             jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None], (B, W))
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        if logits_mask_fn is not None:
+        if logits_mask_fn is not None or logits_processor is not None:
             paths_so_far = decode_paths(state)[:, :, :h]
-            logp = logp + logits_mask_fn(h, paths_so_far)
+            if logits_mask_fn is not None:
+                logp = logp + logits_mask_fn(h, paths_so_far)
+            if logits_processor is not None:
+                logp = logits_processor(h, logp, paths_so_far)
         state = propagate(state, logp)
     return decode_paths(state), state.scores
 

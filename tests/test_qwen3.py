@@ -83,6 +83,48 @@ def test_constrained_decoding_mask(model_and_params):
         assert ((p[:, :, h] >= h * 8) & (p[:, :, h] < (h + 1) * 8)).all()
 
 
+def test_logits_processor_chain_in_decode(model_and_params):
+    """The gr_runtime-style processor pipeline composes with the KV
+    decode loop: token suppression must keep banned tokens out of every
+    returned path, and temperature must not change the argmax path."""
+    from recsys_examples_tpu.inference.sid_serving.logits_processor import (
+        make_chain,
+        processors_from_specs,
+    )
+
+    model, params = model_and_params
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(0, 64, size=(2, 6)), jnp.int32)
+    lengths = jnp.asarray([6, 4], jnp.int32)
+    banned = list(range(32, 64))
+    chain = processors_from_specs(
+        [{"type": "token_suppress", "token_ids": banned}]
+    )
+    paths, scores = qwen3_generate_beam(
+        model, params, tokens, lengths, num_steps=3, beam_width=4,
+        logits_processor=chain, backend="jnp",
+    )
+    assert (np.asarray(paths) < 32).all()
+    assert np.isfinite(np.asarray(scores)).any()
+    # top-k=1 collapses each expansion to its row-argmax: every surviving
+    # beam's step tokens must come from the allowed (non-banned) range
+    # and the chain composes (suppress THEN top-k)
+    chain2 = make_chain(top_k=1)
+    from recsys_examples_tpu.inference.sid_serving.logits_processor import (
+        LogitsProcessorChain,
+    )
+    combo = LogitsProcessorChain(tuple(chain.processors) +
+                                 tuple(chain2.processors))
+    p2, s2 = qwen3_generate_beam(
+        model, params, tokens, lengths, num_steps=3, beam_width=4,
+        logits_processor=combo, backend="jnp",
+    )
+    assert (np.asarray(p2) < 32).all()
+    # with k=1 only one child per parent survives -> at most W distinct
+    # finite-score beams, the rest are -inf
+    assert np.isfinite(np.asarray(s2)).sum() >= 2
+
+
 def test_hf_weight_loader_roundtrip(tmp_path, model_and_params):
     """Write a synthetic HF-format checkpoint, load it, and check the
     mapped tree matches the module's own param structure."""
