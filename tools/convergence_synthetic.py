@@ -116,6 +116,8 @@ def main():
     ap.add_argument("--candidates", type=int, default=8,
                     help="train-time candidate window (eval always 1)")
     ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--demb-lr", type=float, default=0.01,
+                    help="sparse-table rowwise_adagrad lr")
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--eval-every", type=int, default=0,
                     help="eval cadence in iters (0 = iters//8); best-AUC "
@@ -185,6 +187,7 @@ def main():
             "DynamicEmbeddingArgs.capacity = 8192",
             "DynamicEmbeddingArgs.bucket_capacity = 32",
             'DynamicEmbeddingArgs.optimizer = "rowwise_adagrad"',
+            f"DynamicEmbeddingArgs.learning_rate = {args.demb_lr}",
             "RankingArgs.prediction_head_arch = [64, 1]",
             "RankingArgs.num_tasks = 1",
         ]))
