@@ -107,6 +107,69 @@ def run_cell(B, N, H, D, bwd, zipf, iters=8):
     return el, fl / el / 1e12, int(lengths.sum())
 
 
+def run_int8_compare(H, D):
+    """Int8 vs bf16 forward at MXU-bound training shapes AND the
+    DMA-bound serving regime (small batch, long sequence) where halved
+    K/V HBM traffic is the theoretical win. Emits one JSON line per
+    shape with the speedup, settling VERDICT's win-or-demote question
+    with data."""
+    from recsys_examples_tpu.ops.pallas.hstu_attention import (
+        hstu_attn_varlen_quantized_calibrated,
+        quantize_per_tensor,
+    )
+
+    interp = jax.default_backend() != "tpu"
+    shapes = ((1, 8192), (1, 4096), (2, 8192), (8, 4096), (32, 1024))
+    if interp:  # CPU smoke: interpret mode, keep it tiny
+        shapes = ((1, 256), (2, 128))
+    for B, N in shapes:
+        rng = np.random.default_rng(0)
+        lengths = np.full((B,), N, np.int32)
+        T = B * N
+        offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+
+        def mk():
+            return jnp.asarray(
+                rng.standard_normal((T, H, D)).astype(np.float32) * 0.3,
+                jnp.bfloat16,
+            )
+
+        q, k, v = mk(), mk(), mk()
+        aux = (jnp.asarray(offs), None, None)
+        qi, qs = quantize_per_tensor(q)
+        ki, ks = quantize_per_tensor(k)
+        vi, vs = quantize_per_tensor(v)
+
+        f_bf16 = jax.jit(lambda q, k, v: hstu_attn_varlen(
+            q, k, v, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N,
+            interpret=interp,
+        ))
+        f_int8 = jax.jit(lambda q, k, v: hstu_attn_varlen_quantized_calibrated(
+            q, k, v, float(qs), float(ks), float(vs), aux,
+            max_seqlen=N, alpha=0.08, scaling_seqlen=N, interpret=interp,
+        ))
+        jax.block_until_ready(f_bf16(q, k, v))
+        jax.block_until_ready(f_int8(qi, ki, vi))
+
+        def bench(f, *a, iters=8):
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(*a))
+                ts.append(time.perf_counter() - t0)
+            return float(np.percentile(ts, 10))
+
+        t_bf = bench(f_bf16, q, k, v)
+        t_i8 = bench(f_int8, qi, ki, vi)
+        print(json.dumps({
+            "bench": "hstu_attn_int8_vs_bf16", "batch": B, "seqlen": N,
+            "bf16_ms": round(t_bf * 1e3, 3),
+            "int8_ms": round(t_i8 * 1e3, 3),
+            "speedup": round(t_bf / t_i8, 3),
+            "backend": jax.default_backend(),
+        }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bwd", action="store_true")
@@ -115,9 +178,16 @@ def main():
                    help="batch x seqlen heatmap, write JSON artifact")
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 vs bf16 forward across shapes incl. the "
+                        "DMA-bound serving regime (batch 1, long seq)")
     args = p.parse_args()
     peak = device_peak_tflops()
     mode = "bwd" if args.bwd else "fwd"
+
+    if args.int8:
+        run_int8_compare(args.heads, args.dim)
+        return
 
     if args.grid:
         batches = (1, 4, 8, 16, 32)
