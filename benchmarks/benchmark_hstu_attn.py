@@ -59,7 +59,7 @@ def run_cell(B, N, H, D, bwd, zipf, iters=8):
         )
 
     if bwd:
-        g = jax.grad(
+        g = jax.value_and_grad(
             lambda qq, kk, vv: one(qq, kk, vv).astype(jnp.float32).sum(),
             argnums=(0, 1, 2),
         )
@@ -67,8 +67,16 @@ def run_cell(B, N, H, D, bwd, zipf, iters=8):
         def chained(q, k, v):
             def body(i, carry):
                 qq, acc = carry
-                dq, dk, dv = g(qq, k, v)
-                acc = acc + dq[0, 0, 0].astype(jnp.float32)
+                # the carry must consume the fwd VALUE and ALL THREE
+                # grads, or XLA dead-code-eliminates the untouched
+                # pallas_calls (the dq and dkv backwards are separate
+                # kernels; the fwd output is not a VJP residual) and the
+                # cell times only a fraction of the 3.5x-credited work
+                out, (dq, dk, dv) = g(qq, k, v)
+                acc = (acc + out
+                       + dq[0, 0, 0].astype(jnp.float32)
+                       + dk[0, 0, 0].astype(jnp.float32)
+                       + dv[0, 0, 0].astype(jnp.float32))
                 # perturb the input per link so XLA cannot hoist the
                 # loop-invariant chain out (LICM trap — see repo notes)
                 qq = q + (acc * 1e-12).astype(q.dtype)

@@ -208,7 +208,7 @@ int main(int argc, char** argv) {
     if (a == "--plugin") plugin = next();
     else if (a == "--module") module_path = next();
     else if (a == "--spec") spec_path = next();
-    else if (a == "--iters") iters = std::stoi(next());
+    else if (a == "--iters") iters = std::max(1, std::stoi(next()));
     else if (a == "--dry-run") dry_run = true;
     else if (a == "--opt-str" || a == "--opt-int") {
       std::string kv = next();

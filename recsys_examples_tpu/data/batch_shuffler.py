@@ -81,10 +81,6 @@ def karmarkar_karp(
     on spread up to 2.6x — so "best" usually selects LPT, and KK is kept
     for strict reference parity and as insurance on other load shapes.
     """
-    if method == "best":
-        a_kk, l_kk = karmarkar_karp(costs, num_parts, method="kk")
-        a_lpt, l_lpt = karmarkar_karp(costs, num_parts, method="lpt")
-        return (a_kk, l_kk) if l_kk.max() < l_lpt.max() else (a_lpt, l_lpt)
     global _NATIVE, _NATIVE_TRIED
     if not _NATIVE_TRIED:
         _NATIVE_TRIED = True
@@ -92,6 +88,23 @@ def karmarkar_karp(
             _NATIVE = _load_native()
         except OSError:
             _NATIVE = None
+    if method == "best":
+        if _NATIVE is None:
+            # without the native core, KK would silently be the numpy
+            # LPT below — don't run the identical algorithm twice
+            return karmarkar_karp(costs, num_parts, method="lpt")
+        a_kk, l_kk = karmarkar_karp(costs, num_parts, method="kk")
+        a_lpt, l_lpt = karmarkar_karp(costs, num_parts, method="lpt")
+        return (a_kk, l_kk) if l_kk.max() < l_lpt.max() else (a_lpt, l_lpt)
+    if method == "kk" and _NATIVE is None:
+        import warnings
+
+        warnings.warn(
+            "karmarkar_karp(method='kk'): csrc/libkk_partition.so not "
+            "built — falling back to greedy LPT (NOT the reference KK "
+            "algorithm). Run `make -C csrc` for the native core.",
+            RuntimeWarning, stacklevel=2,
+        )
     native_fn = None
     if _NATIVE is not None:
         native_fn = (

@@ -85,7 +85,10 @@ def _insert_flush_op(
     keys/scores [n]; emb [n, dim]; opt_rows [n, opt_dim] or None;
     have_row [n] bool (False -> row comes from the key-seeded initializer).
     Returns (new_table, victim_keys [n], victim_scores [n],
-    victim_rows [n, value_dim]) with EMPTY_KEY marking no-victim lanes.
+    victim_rows [n, value_dim], placed [n]) with EMPTY_KEY marking
+    no-victim lanes. `placed` is False where the insert could not claim a
+    slot within `rounds` (bucket contention) — those keys are NOT
+    resident on device and their host rows must be preserved.
     """
     from recsys_examples_tpu.dynamicemb.initializer import (
         initialize_embeddings,
@@ -116,7 +119,8 @@ def _insert_flush_op(
     vrows = table.values[vslots]
     if table.opt is not None:
         vrows = jnp.concatenate([vrows, table.opt[vslots]], axis=1)
-    return new_table, vkeys, vscores, vrows
+    placed = (slots >= 0) & (keys != EMPTY_KEY)
+    return new_table, vkeys, vscores, vrows, placed
 
 
 class HybridDynamicEmbedding:
@@ -162,7 +166,7 @@ class HybridDynamicEmbedding:
         # auto_install hit-rate tracking)
         self.stats = {
             "lookups": 0, "device_hits": 0, "host_onboards": 0,
-            "evict_flushes": 0,
+            "evict_flushes": 0, "insert_failures": 0,
         }
 
     def init_state(self) -> DynamicEmbTableState:
@@ -221,13 +225,13 @@ class HybridDynamicEmbedding:
             return found[None]
 
         def local_insert(tstate, dk, scores, emb, opt, have):
-            new_table, vk, vs, vr = ifl(
+            new_table, vk, vs, vr, placed = ifl(
                 tstate.table, dk[0], scores[0], emb[0],
                 opt[0] if has_opt else None, have[0],
             )
             return (
                 tstate.replace(table=new_table),
-                vk[None], vs[None], vr[None],
+                vk[None], vs[None], vr[None], placed[None],
             )
 
         if self.mesh is None:
@@ -254,7 +258,7 @@ class HybridDynamicEmbedding:
                 local_insert, mesh=self.mesh,
                 in_specs=(state_spec, row, row, P(ax, None, None),
                           P(ax, None, None), row),
-                out_specs=(state_spec, row, row, P(ax, None, None)),
+                out_specs=(state_spec, row, row, P(ax, None, None), row),
                 check_vma=False,
             ), donate_argnums=(0,))
         self._op_cache[cap] = (lk, ins)
@@ -305,8 +309,7 @@ class HybridDynamicEmbedding:
         havef[hit_rows] = True
 
         score = int(np.asarray(state.step).reshape(-1)[0]) + 1
-        vdt = np.float32
-        state, vkeys, vscores, vrows = ins(
+        state, vkeys, vscores, vrows, placed = ins(
             state,
             jnp.asarray(ins_keys),
             jnp.full((W, cap), score, jnp.int64),
@@ -325,8 +328,17 @@ class HybridDynamicEmbedding:
                 np.asarray(vscores).reshape(-1)[live],
             )
             self.stats["evict_flushes"] += int(live.sum())
-        # drop the keys now living on-device from host
-        self.host._store.erase(np.asarray(miss_keys, np.int64))
+        # drop ONLY the keys that actually landed on device from host —
+        # an insert can fail to claim a slot within insert_rounds under
+        # extreme bucket contention (slots == -1); erasing those would
+        # permanently lose their trained host rows
+        placed_flat = np.asarray(placed).reshape(-1)
+        landed = miss_keys[placed_flat[miss_flat]]
+        n_failed = len(miss_keys) - len(landed)
+        if n_failed:
+            self.stats["insert_failures"] += n_failed
+        if len(landed):
+            self.host._store.erase(np.asarray(landed, np.int64))
         return state
 
     def flush_all(self, state: DynamicEmbTableState) -> None:

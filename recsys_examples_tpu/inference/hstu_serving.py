@@ -132,6 +132,10 @@ class DynamicBatcher:
     async def submit(self, user_id: int, item_ids: np.ndarray,
                      num_candidates: int,
                      timeout_s: Optional[float] = None) -> np.ndarray:
+        # validate per-request at the door: an oversize sequence must
+        # fail only ITS caller, never the innocent requests it would
+        # otherwise be coalesced with
+        self.server._bucket(len(item_ids))
         if self.queue.qsize() >= self.max_queue:
             self.metrics["rejected_queue_full"] += 1
             raise QueueFullError(f"queue at capacity {self.max_queue}")
@@ -224,6 +228,8 @@ def create_app(server: RankingServer, batcher: Optional[DynamicBatcher] = None):
             return web.json_response({"error": str(e)}, status=429)
         except RequestTimeoutError as e:
             return web.json_response({"error": str(e)}, status=504)
+        except ValueError as e:  # oversize sequence etc. — caller's fault
+            return web.json_response({"error": str(e)}, status=400)
         return web.json_response({"scores": scores.tolist()})
 
     async def health(request):

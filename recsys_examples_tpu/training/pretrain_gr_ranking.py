@@ -363,7 +363,7 @@ def eval_batches(ds, trainer_args, iters):
         ds.max_num_candidates
     )
     if ds.dataset_name == "random":
-        for j in range(iters):
+        for j in range(iters or 8):
             yield random_hstu_batch(
                 seed=99991 + j,
                 batch_size=ds.batch_size,
@@ -379,9 +379,11 @@ def eval_batches(ds, trainer_args, iters):
     )
 
     sd = make_sequence_dataset(ds, max_num_candidates=nc_eval)
-    yield from sd.batches(
-        ds.batch_size, train=False, seed=0, shuffle=False
-    )
+    import itertools
+
+    # honor eval_iters for file datasets too (0/None = full holdout)
+    it = sd.batches(ds.batch_size, train=False, seed=0, shuffle=False)
+    yield from (itertools.islice(it, iters) if iters else it)
 
 
 def run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args, iters=8,

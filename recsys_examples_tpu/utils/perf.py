@@ -84,7 +84,11 @@ def hstu_flops_exact(
     if has_bwd:
         other *= 2.0
     if residual:
-        other += S * H * D              # residual add (bwd is a no-op)
+        # S*H*D matches the reference line-for-line (perf.py:596
+        # `seqlens * num_heads * hidden_size`) even though the [T, D]
+        # residual add is physically S*D — comparability to the
+        # published table requires the same accounting, quirks included
+        other += S * H * D
 
     return float((attn + gemm + other).sum() * num_layers)
 

@@ -158,6 +158,7 @@ def main():
         f.write("\n".join([
             f"TrainerArgs.max_train_iters = {args.iters}",
             f"TrainerArgs.log_interval = {args.log_every}",
+            "TrainerArgs.eval_iters = 0",   # full holdout every eval
             f"TrainerArgs.eval_interval = "
             f"{args.eval_every or max(args.iters // 8, 1)}",
             'DatasetArgs.dataset_name = "synthetic-movielens"',
