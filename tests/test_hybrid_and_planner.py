@@ -176,3 +176,43 @@ def test_sharded_hybrid_prefetch_8dev():
             state, jnp.asarray(keys_a), train=False
         )
     np.testing.assert_allclose(np.asarray(emb_a2), emb_a, rtol=0, atol=0)
+
+
+def test_prefetch_insert_failure_preserves_host_rows():
+    """A key whose device insert fails (bucket contention beyond
+    insert_rounds) must KEEP its host-tier row — erasing it would lose
+    trained state permanently (round-3 review fix)."""
+    opts = DynamicEmbTableOptions(
+        embedding_dim=4,
+        max_capacity=16,           # 2 buckets of 8
+        bucket_capacity=8,
+        insert_rounds=1,           # one claim round -> contention fails
+        initializer_args=DynamicEmbInitializerArgs(
+            mode=DynamicEmbInitializerMode.DEBUG
+        ),
+    )
+    tbl = DynamicEmbeddingTable(
+        opts, SparseOptimizerArgs(optimizer="sgd", learning_rate=0.1)
+    )
+    hyb = HybridDynamicEmbedding(tbl)
+    # seed the host tier with known rows for many keys (more than fit)
+    keys = np.arange(1, 65, dtype=np.int64)
+    rows = np.tile(
+        keys[:, None].astype(np.float32), (1, tbl.value_dim)
+    )
+    hyb.host.put_batch(keys, rows, np.ones(len(keys), np.int64))
+    state = hyb.init_state()
+    state = hyb.prefetch(state, keys)
+    assert hyb.stats["insert_failures"] > 0, (
+        "test setup: expected contention failures at insert_rounds=1"
+    )
+    from recsys_examples_tpu.dynamicemb.hashtable import lookup
+
+    _, found = lookup(state.table, jnp.asarray(keys))
+    found = np.asarray(found)
+    # every key is either on device or still recoverable from host
+    vals, host_found = hyb.host.get_batch(keys[~found])
+    assert host_found.all(), "failed-insert keys were erased from host"
+    np.testing.assert_allclose(
+        vals[:, 0], keys[~found].astype(np.float32)
+    )
