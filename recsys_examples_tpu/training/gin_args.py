@@ -88,6 +88,10 @@ class DynamicEmbeddingArgs:
     bucket_capacity: int = 128
     optimizer: str = "rowwise_adagrad"
     learning_rate: float = 0.01
+    # L2 on looked-up rows (reference: EXACT_ROWWISE_ADAGRAD weight_decay,
+    # batched_dynamicemb_tables.py:491) — the dense adamw decay never
+    # touches the hash tables, so sparse memorization needs its own knob
+    weight_decay: float = 0.0
     score_strategy: str = "timestamp"   # timestamp | step | lfu
     admission_threshold: int = 0
     caching: bool = False

@@ -186,7 +186,8 @@ def main(argv=None):
                 admission_threshold=demb.admission_threshold,
             ),
             SparseOptimizerArgs(
-                optimizer=demb.optimizer, learning_rate=demb.learning_rate
+                optimizer=demb.optimizer, learning_rate=demb.learning_rate,
+                weight_decay=getattr(demb, "weight_decay", 0.0),
             ),
             world_size=dp,
         )
@@ -214,7 +215,9 @@ def main(argv=None):
                     bucket_capacity=demb.bucket_capacity,
                 ),
                 SparseOptimizerArgs(
-                    optimizer=demb.optimizer, learning_rate=demb.learning_rate
+                    optimizer=demb.optimizer,
+                    learning_rate=demb.learning_rate,
+                    weight_decay=getattr(demb, "weight_decay", 0.0),
                 ),
                 world_size=dp,
             )

@@ -115,7 +115,8 @@ def main(argv=None):
                 admission_threshold=demb.admission_threshold,
             ),
             SparseOptimizerArgs(
-                optimizer=demb.optimizer, learning_rate=demb.learning_rate
+                optimizer=demb.optimizer, learning_rate=demb.learning_rate,
+                weight_decay=getattr(demb, "weight_decay", 0.0),
             ),
             world_size=dp,
         )
@@ -132,6 +133,7 @@ def main(argv=None):
                 SparseOptimizerArgs(
                     optimizer=demb.optimizer,
                     learning_rate=demb.learning_rate,
+                    weight_decay=getattr(demb, "weight_decay", 0.0),
                 ),
                 world_size=dp,
             )

@@ -118,6 +118,10 @@ def main():
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--demb-lr", type=float, default=0.01,
                     help="sparse-table rowwise_adagrad lr")
+    ap.add_argument("--sparse-wd", type=float, default=0.0,
+                    help="L2 weight decay on looked-up table rows — the "
+                         "dense adamw decay never touches the hash "
+                         "tables, this is the anti-memorization knob")
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--eval-every", type=int, default=0,
                     help="eval cadence in iters (0 = iters//8); best-AUC "
@@ -189,6 +193,7 @@ def main():
             "DynamicEmbeddingArgs.bucket_capacity = 32",
             'DynamicEmbeddingArgs.optimizer = "rowwise_adagrad"',
             f"DynamicEmbeddingArgs.learning_rate = {args.demb_lr}",
+            f"DynamicEmbeddingArgs.weight_decay = {args.sparse_wd}",
             "RankingArgs.prediction_head_arch = [64, 1]",
             "RankingArgs.num_tasks = 1",
         ]))
