@@ -56,7 +56,30 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def _probe_backend(timeout_s: int = 240) -> None:
+    """First device use dials the axon tunnel, which HANGS in native code
+    (not errors, and not interruptibly — SIGALRM never reaches Python) if
+    the relay is down. Probe in a KILLABLE subprocess and emit a failure
+    JSON line instead of wedging the bench harness."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "hstu_e2e_train_mfu", "value": 0.0, "unit": "%",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"backend unreachable after {timeout_s}s "
+                                "(axon tunnel down?)"},
+        }), flush=True)
+        os._exit(3)
+
+
 def main():
+    _probe_backend()
     from recsys_examples_tpu.data.hstu_batch import (
         _zipf_lengths,
         random_hstu_batch,
