@@ -76,3 +76,30 @@ def test_batches_and_prefetch(npz_path):
     uncapped = lens < 18
     np.testing.assert_array_equal(tr[uncapped], lens[uncapped] - 1)
     np.testing.assert_array_equal(tr[~uncapped], 18)
+
+
+def test_eval_candidate_override_scores_only_holdout(npz_path):
+    """Train with a last-N candidate window but eval ONLY the holdout:
+    the eval batch (train=False, nc=1) candidate must be each user's true
+    last item, and train batches (nc=4) must never include it."""
+    tr = SequenceDataset(npz_path, max_history_len=32, max_num_candidates=4)
+    ev = SequenceDataset(npz_path, max_history_len=32, max_num_candidates=1)
+    d = np.load(npz_path)
+    items, offs = d["item_ids"], d["offsets"]
+    B = 4
+    ebatch = next(ev.batches(B, train=False, shuffle=False))
+    evals = np.asarray(ebatch.features["item"].values)
+    eoffs = np.asarray(ebatch.features["item"].offsets)
+    elens = np.asarray(ebatch.features["item"].lengths)
+    tbatch = next(tr.batches(B, train=True, shuffle=False))
+    tvals = np.asarray(tbatch.features["item"].values)
+    toffs = np.asarray(tbatch.features["item"].offsets)
+    tlens = np.asarray(tbatch.features["item"].lengths)
+    for u in range(B):
+        true_last = items[offs[u + 1] - 1]
+        # eval candidate (last of the nc=1 batch row) IS the holdout
+        assert evals[eoffs[u] + elens[u] - 1] == true_last
+        # the train row (holdout removed) never contains position e-1
+        trow = tvals[toffs[u]:toffs[u] + tlens[u]]
+        full = items[offs[u]:offs[u + 1]]
+        np.testing.assert_array_equal(trow, full[:-1][-len(trow):])
