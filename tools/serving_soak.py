@@ -99,6 +99,10 @@ def drive(sched, contexts, label, warmup=True):
     if "pool_high_water" in st:
         out["pool_high_water"] = st["pool_high_water"]
         out["pool_leaks"] = any(st["pool_leaks"].values())
+    if hasattr(sched, "get_metrics"):
+        m = sched.get_metrics()
+        out["dispatches"] = m["counters"].get("dispatches", 0)
+        out["steps_per_dispatch"] = m.get("steps_per_dispatch")
     print(json.dumps(out))
     return out
 
