@@ -388,23 +388,63 @@ class PrefetchIterator:
         import queue
         import threading
 
+        # depth <= 0 = synchronous pass-through (no worker thread). The
+        # test suite pins REXTPU_PREFETCH_DEPTH=0: a background thread
+        # touching the jax client concurrently with the main thread's
+        # compiled SPMD steps intermittently aborts the CPU runtime when
+        # many training mains share one process (observed as a silent
+        # SIGABRT in Array._value); real single-run processes keep the
+        # overlap.
+        self._it = it if depth <= 0 else None
+        if self._it is not None:
+            return
         self._q = queue.Queue(maxsize=depth)
         self._done = object()
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for item in it:
-                    self._q.put(item)
+                    # bounded put so close() can unblock and stop us —
+                    # an abandoned daemon worker otherwise keeps
+                    # assembling batches (and touching the jax client)
+                    # concurrently with whatever the process does next
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             finally:
-                self._q.put(self._done)
+                try:
+                    self._q.put_nowait(self._done)
+                except queue.Full:
+                    pass
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
+
+    def close(self, timeout: float = 5.0):
+        """Stop the worker and drain; idempotent. Training entries call
+        this after the loop so no background thread outlives the run."""
+        if self._it is not None:
+            return
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break
+        self._t.join(timeout)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._it is not None:
+            return next(self._it)
         item = self._q.get()
         if item is self._done:
             raise StopIteration

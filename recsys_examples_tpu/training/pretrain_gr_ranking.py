@@ -248,7 +248,10 @@ def main(argv=None):
         raw_it = shuffled()
     # host-side prefetch overlaps batch assembly with the device step
     # (reference 3-stream train pipeline, train_pipeline.py:95)
-    it = PrefetchIterator(raw_it, depth=2)
+    it = PrefetchIterator(
+        raw_it,
+        depth=int(os.environ.get("REXTPU_PREFETCH_DEPTH", "2")),
+    )
     first = next(it)
     if mesh is not None:
         first = shard_hstu_batch(first, mesh, dp)
@@ -271,80 +274,83 @@ def main(argv=None):
     losses = []
     _nan_reported = [False]
     t_start = time.perf_counter()
-    for i, batch in enumerate(
-        watched_iter(it, timeout=trainer_args.watchdog_timeout_s)
-    ):
-        if i >= trainer_args.max_train_iters:
-            break
-        if trainer_args.profile and i == trainer_args.profile_step_start:
-            jax.profiler.start_trace("/tmp/rextpu_trace")
-        timer.start()
-        if hybrid is not None:
-            new_sparse = dict(state.sparse)
-            new_sparse["item"] = hybrid.prefetch(
-                state.sparse["item"],
-                np.asarray(batch.features["item"].values),
-            )
-            state = state.replace(sparse=new_sparse)
-        if mesh is not None:
-            batch = shard_hstu_batch(batch, mesh, dp)
-            with jax.set_mesh(mesh):
-                state, metrics = step_fn(state, batch, rng)
-        else:
-            state, metrics = step_fn(state, batch, rng)
-        loss = float(metrics["loss"])
-        dt = timer.stop()
-        losses.append(loss)
-        if loss != loss and not _nan_reported[0]:
-            # NaN tripwire (reference: ASSERT_LOSS_HAS_NAN,
-            # train_pipeline.py:196): report which state parts went
-            # non-finite once, so intermittent numeric faults are
-            # diagnosable from logs
-            _nan_reported[0] = True
-            bad = []
-            for path, leaf in jax.tree_util.tree_flatten_with_path(
-                (state.params, state.sparse)
-            )[0]:
-                arr = np.asarray(leaf)
-                if (np.issubdtype(arr.dtype, np.floating)
-                        and not np.isfinite(arr).all()):
-                    bad.append(jax.tree_util.keystr(path))
-                if len(bad) >= 8:
-                    break
-            print_rank_0(
-                f"[nan-tripwire] loss NaN at iter {i + 1}; non-finite "
-                f"state leaves: {bad or 'none (transient batch?)'}"
-            )
-            if os.environ.get("REXTPU_HALT_ON_NAN"):
-                raise FloatingPointError("loss NaN")
-        if trainer_args.profile and i == trainer_args.profile_step_end:
-            jax.profiler.stop_trace()
-        if (i + 1) % trainer_args.log_interval == 0:
-            item_len = np.asarray(batch.features["item"].lengths)
-            fl = hstu_train_flops(
-                item_len * (2 if ds.action_vocab_size else 1),
-                net.hidden_size, net.num_attention_heads, net.kv_channels,
-                net.num_layers,
-            )
-            tflops = fl / dt / 1e12
-            print_rank_0(
-                f"iter {i + 1}: loss={np.mean(losses[-trainer_args.log_interval:]):.5f} "
-                f"step={dt * 1e3:.1f}ms tflops={tflops:.1f} "
-                f"mfu={100 * tflops / peak:.2f}%"
-            )
-        if (
-            trainer_args.ckpt_save_interval
-            and (i + 1) % trainer_args.ckpt_save_interval == 0
+    try:
+        for i, batch in enumerate(
+            watched_iter(it, timeout=trainer_args.watchdog_timeout_s)
         ):
-            save_checkpoint(
-                f"{trainer_args.ckpt_dir}/iter_{i + 1:07d}",
-                state, state.sparse,
-                {n: t.table for n, t in sparse.items()},
-            )
-        if trainer_args.eval_interval and (i + 1) % trainer_args.eval_interval == 0:
-            run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args,
-                     iters=getattr(trainer_args, "eval_iters", 8),
-                     mesh=mesh)
+            if i >= trainer_args.max_train_iters:
+                break
+            if trainer_args.profile and i == trainer_args.profile_step_start:
+                jax.profiler.start_trace("/tmp/rextpu_trace")
+            timer.start()
+            if hybrid is not None:
+                new_sparse = dict(state.sparse)
+                new_sparse["item"] = hybrid.prefetch(
+                    state.sparse["item"],
+                    np.asarray(batch.features["item"].values),
+                )
+                state = state.replace(sparse=new_sparse)
+            if mesh is not None:
+                batch = shard_hstu_batch(batch, mesh, dp)
+                with jax.set_mesh(mesh):
+                    state, metrics = step_fn(state, batch, rng)
+            else:
+                state, metrics = step_fn(state, batch, rng)
+            loss = float(metrics["loss"])
+            dt = timer.stop()
+            losses.append(loss)
+            if loss != loss and not _nan_reported[0]:
+                # NaN tripwire (reference: ASSERT_LOSS_HAS_NAN,
+                # train_pipeline.py:196): report which state parts went
+                # non-finite once, so intermittent numeric faults are
+                # diagnosable from logs
+                _nan_reported[0] = True
+                bad = []
+                for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    (state.params, state.sparse)
+                )[0]:
+                    arr = np.asarray(leaf)
+                    if (np.issubdtype(arr.dtype, np.floating)
+                            and not np.isfinite(arr).all()):
+                        bad.append(jax.tree_util.keystr(path))
+                    if len(bad) >= 8:
+                        break
+                print_rank_0(
+                    f"[nan-tripwire] loss NaN at iter {i + 1}; non-finite "
+                    f"state leaves: {bad or 'none (transient batch?)'}"
+                )
+                if os.environ.get("REXTPU_HALT_ON_NAN"):
+                    raise FloatingPointError("loss NaN")
+            if trainer_args.profile and i == trainer_args.profile_step_end:
+                jax.profiler.stop_trace()
+            if (i + 1) % trainer_args.log_interval == 0:
+                item_len = np.asarray(batch.features["item"].lengths)
+                fl = hstu_train_flops(
+                    item_len * (2 if ds.action_vocab_size else 1),
+                    net.hidden_size, net.num_attention_heads, net.kv_channels,
+                    net.num_layers,
+                )
+                tflops = fl / dt / 1e12
+                print_rank_0(
+                    f"iter {i + 1}: loss={np.mean(losses[-trainer_args.log_interval:]):.5f} "
+                    f"step={dt * 1e3:.1f}ms tflops={tflops:.1f} "
+                    f"mfu={100 * tflops / peak:.2f}%"
+                )
+            if (
+                trainer_args.ckpt_save_interval
+                and (i + 1) % trainer_args.ckpt_save_interval == 0
+            ):
+                save_checkpoint(
+                    f"{trainer_args.ckpt_dir}/iter_{i + 1:07d}",
+                    state, state.sparse,
+                    {n: t.table for n, t in sparse.items()},
+                )
+            if trainer_args.eval_interval and (i + 1) % trainer_args.eval_interval == 0:
+                run_eval(trainer, eval_fn, state, ds, trainer_args, rank_args,
+                         iters=getattr(trainer_args, "eval_iters", 8),
+                         mesh=mesh)
+    finally:
+        it.close()
 
     total = time.perf_counter() - t_start
     print_rank_0(f"done: {total:.1f}s, final loss {losses[-1]:.5f}")

@@ -8,6 +8,7 @@ by ranking the held-out next item against the embedded candidate corpus
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -154,7 +155,10 @@ def main(argv=None):
         shard_hstu_batch,
     )
 
-    it = PrefetchIterator(batch_iterator(ds, trainer_args, dp=dp), depth=2)
+    it = PrefetchIterator(
+        batch_iterator(ds, trainer_args, dp=dp),
+        depth=int(os.environ.get("REXTPU_PREFETCH_DEPTH", "2")),
+    )
     first = next(it)
     if mesh is not None:
         first = shard_hstu_batch(first, mesh, dp)
@@ -176,37 +180,40 @@ def main(argv=None):
     )
     losses = []
     t_start = time.perf_counter()
-    for i, batch in enumerate(
-        watched_iter(it, timeout=trainer_args.watchdog_timeout_s)
-    ):
-        if i >= trainer_args.max_train_iters:
-            break
-        timer.start()
-        if mesh is not None:
-            batch = shard_hstu_batch(batch, mesh, dp)
-            with jax.set_mesh(mesh):
+    try:
+        for i, batch in enumerate(
+            watched_iter(it, timeout=trainer_args.watchdog_timeout_s)
+        ):
+            if i >= trainer_args.max_train_iters:
+                break
+            timer.start()
+            if mesh is not None:
+                batch = shard_hstu_batch(batch, mesh, dp)
+                with jax.set_mesh(mesh):
+                    state, metrics = step_fn(state, batch, rng)
+            else:
                 state, metrics = step_fn(state, batch, rng)
-        else:
-            state, metrics = step_fn(state, batch, rng)
-        loss = float(metrics["loss"])
-        dt = timer.stop()
-        losses.append(loss)
-        if (i + 1) % trainer_args.log_interval == 0:
-            item_len = np.asarray(batch.features["item"].lengths)
-            fl = hstu_train_flops(
-                item_len * (2 if ds.action_vocab_size else 1),
-                net.hidden_size, net.num_attention_heads, net.kv_channels,
-                net.num_layers,
-            )
-            tflops = fl / dt / 1e12
-            print_rank_0(
-                f"iter {i + 1}: "
-                f"loss={np.mean(losses[-trainer_args.log_interval:]):.5f} "
-                f"step={dt * 1e3:.1f}ms tflops={tflops:.1f} "
-                f"mfu={100 * tflops / peak:.2f}%"
-            )
-        if trainer_args.eval_interval and (i + 1) % trainer_args.eval_interval == 0:
-            run_eval(eval_fn, state, ds, trainer_args, ret_args)
+            loss = float(metrics["loss"])
+            dt = timer.stop()
+            losses.append(loss)
+            if (i + 1) % trainer_args.log_interval == 0:
+                item_len = np.asarray(batch.features["item"].lengths)
+                fl = hstu_train_flops(
+                    item_len * (2 if ds.action_vocab_size else 1),
+                    net.hidden_size, net.num_attention_heads, net.kv_channels,
+                    net.num_layers,
+                )
+                tflops = fl / dt / 1e12
+                print_rank_0(
+                    f"iter {i + 1}: "
+                    f"loss={np.mean(losses[-trainer_args.log_interval:]):.5f} "
+                    f"step={dt * 1e3:.1f}ms tflops={tflops:.1f} "
+                    f"mfu={100 * tflops / peak:.2f}%"
+                )
+            if trainer_args.eval_interval and (i + 1) % trainer_args.eval_interval == 0:
+                run_eval(eval_fn, state, ds, trainer_args, ret_args)
+    finally:
+        it.close()
 
     total = time.perf_counter() - t_start
     print_rank_0(f"done: {total:.1f}s, final loss {losses[-1]:.5f}")

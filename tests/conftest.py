@@ -10,6 +10,7 @@ import os
 # force CPU: the harness may preset JAX_PLATFORMS=axon (the real TPU chip),
 # but the test suite is designed for a virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("REXTPU_PREFETCH_DEPTH", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
