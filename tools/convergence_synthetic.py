@@ -123,6 +123,9 @@ def main():
                          "dense adamw decay never touches the hash "
                          "tables, this is the anti-memorization knob")
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--heads", type=int, default=2)
+    ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--eval-every", type=int, default=0,
                     help="eval cadence in iters (0 = iters//8); best-AUC "
                          "needs a cadence finer than the overfit onset")
@@ -176,10 +179,10 @@ def main():
             "DatasetArgs.eval_max_num_candidates = 1",
             "DatasetArgs.item_vocab_size = 2000",
             "DatasetArgs.action_vocab_size = 6",
-            "NetworkArgs.hidden_size = 128",
-            "NetworkArgs.num_layers = 2",
-            "NetworkArgs.num_attention_heads = 2",
-            "NetworkArgs.kv_channels = 64",
+            f"NetworkArgs.hidden_size = {args.hidden}",
+            f"NetworkArgs.num_layers = {args.layers}",
+            f"NetworkArgs.num_attention_heads = {args.heads}",
+            f"NetworkArgs.kv_channels = {args.hidden // args.heads}",
             f"NetworkArgs.hidden_dropout = {args.dropout}",
             f'NetworkArgs.kernel_backend = "{kernel}"',
             f'NetworkArgs.dtype = "{dtype}"',
