@@ -130,7 +130,7 @@ class HybridDynamicEmbedding:
     With `mesh`, composes with the row-sharded path (VERDICT r2 #4;
     reference: HybridStorage under TorchRec row-wise sharding,
     key_value_table.py:2107 + planner): each rank's table shard acts as
-    the cache for the keys it owns (owner = key % world, matching
+    the cache for the keys it owns (owner = mix64(key) % world, matching
     sharded_collection._route), prefetch routes per-owner key buckets
     through ONE shard_map'd lookup + ONE shard_map'd insert-and-flush, and
     the host tier holds the evicted cold rows. Tables larger than
@@ -183,15 +183,20 @@ class HybridDynamicEmbedding:
     # ---------------------------------------------------- device ops
     def _pack(self, ukeys: np.ndarray):
         """Route unique keys into per-owner fixed-capacity buckets
-        [W, cap] (owner = key %% W, matching sharded_collection._route);
-        power-of-two cap so each distinct cap compiles once."""
+        [W, cap] (owner = mix64(key) %% W via route_owner_np, in lockstep
+        with sharded_collection._route); power-of-two cap so each distinct
+        cap compiles once."""
         W = self.world
         if W == 1:
             cap = 1 << max(int(np.ceil(np.log2(max(len(ukeys), 1)))), 6)
             dk = np.full((1, cap), int(EMPTY_KEY), np.int64)
             dk[0, : len(ukeys)] = ukeys
             return dk
-        owner = (ukeys % W).astype(np.int64)
+        from recsys_examples_tpu.dynamicemb.sharded_collection import (
+            route_owner_np,
+        )
+
+        owner = route_owner_np(ukeys, W).astype(np.int64)
         counts = np.bincount(owner, minlength=W)
         cap = 1 << max(int(np.ceil(np.log2(max(counts.max(), 1)))), 6)
         dk = np.full((W, cap), int(EMPTY_KEY), np.int64)

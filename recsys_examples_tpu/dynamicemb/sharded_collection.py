@@ -6,13 +6,21 @@ embedding.py:78; `RwSparseFeaturesDist` input_dist.py:199 — bucketize KJT
 per rank then NCCL all-to-all, sequence embeddings all-to-all'd back).
 
 TPU design (static shapes, ICI collectives, shard_map):
-  - Table rows live on the owner rank: owner = key mod world ("roundrobin"
-    dist_type; reference planner.py dist_type options).
+  - Table rows live on the owner rank: owner = mix64(key) mod world
+    ("hash_roundrobin" dist_type; reference planner.py dist_type options).
+    The splitmix64 finalizer defeats modular id structure (e.g. all-even
+    ids), so per-owner load follows the binomial tail, not the id layout.
   - Exchange = fixed-capacity bucketed `lax.all_to_all`: each rank packs its
-    (locally deduped) unique keys into a [W, cap] send buffer; overflowing
-    keys are dropped to transient-init embeddings and counted (the ragged
+    (locally deduped) unique keys into a [W, cap] send buffer (the ragged
     all-to-all of the reference is not expressible under XLA's static
     shapes; cap has a safety factor over the balanced load u/W).
+  - Overflow is NOT silent: keys past an owner bucket's cap fall back to
+    transient-init embeddings in the forward, their phase-C grads are
+    dropped for that step, and the count is returned in
+    `LookupResidual.num_overflow`. The trainer surfaces it per step and
+    `AdaptiveBucketing` raises `bucket_factor` (forcing a retrace at the
+    larger cap) when overflow persists, so sustained under-training is
+    impossible by construction.
   - Phase A (forward, non-diff): unique -> a2a ids -> owner lookup/insert ->
     a2a embeddings -> per-token gather. Returns per-token embeddings plus a
     routing residual.
@@ -51,6 +59,44 @@ class LookupResidual(NamedTuple):
     recv_reverse: jax.Array  # [W*cap] recv -> owner-unique slot
     slots: jax.Array         # [W*cap] table slots of owner uniques
     num_unique: jax.Array    # [1] local unique count
+    num_overflow: jax.Array  # [1] uniques past their owner bucket's cap
+
+
+_N_RES = len(LookupResidual._fields)
+
+
+def route_owner(keys: jax.Array, W: int) -> jax.Array:
+    """Owner rank per key: splitmix64-mixed hash mod W ("hash_roundrobin").
+
+    Mixing before the modulus makes per-owner load insensitive to id
+    structure (dense ranges, all-even ids, tid<<58 grouped-feature tags),
+    which is what makes a static bucket cap with a modest safety factor
+    safe. Must stay in lockstep with :func:`route_owner_np` (the host-side
+    mirror used by the hybrid-storage prefetch bucketing).
+
+    The golden-gamma increment decorrelates this hash from the table's
+    intra-shard bucket hash (`dynamicemb_config.hash_keys`, the bare
+    splitmix64 finalizer): without it, every key on a shard satisfies
+    mix64(key) == rank (mod W), so only num_buckets/W of the shard's
+    hash buckets would ever be used — pathological eviction.
+    """
+    z = keys.astype(jnp.uint64) + jnp.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> 31)
+    return (z % jnp.uint64(W)).astype(jnp.int32)
+
+
+def route_owner_np(keys, W: int):
+    """NumPy mirror of :func:`route_owner` (same bits, host-side)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return (z % np.uint64(W)).astype(np.int32)
 
 
 def _route(unique_keys: jax.Array, W: int, cap: int):
@@ -59,7 +105,7 @@ def _route(unique_keys: jax.Array, W: int, cap: int):
     active = unique_keys != EMPTY_KEY
     owner = jnp.where(
         active,
-        (unique_keys % W).astype(jnp.int32),
+        route_owner(unique_keys, W),
         W,  # park padding in a virtual bucket
     )
     # position within owner's bucket = rank among same-owner keys
@@ -150,7 +196,7 @@ class ShardedDynamicEmbedding:
             state,
         )
         fn = functools.partial(self._fwd_local, train=train, _in_shmap=True)
-        res_spec = LookupResidual(*([P(self.axis)] * 7))
+        res_spec = LookupResidual(*([P(self.axis)] * _N_RES))
         f = shard_map(
             fn,
             mesh=self.mesh,
@@ -187,16 +233,19 @@ class ShardedDynamicEmbedding:
                 recv_reverse=jnp.arange(n, dtype=jnp.int32),
                 slots=slots,
                 num_unique=nu.reshape(1),
+                num_overflow=jnp.zeros((1,), jnp.int32),
             )
             return state, out, res
 
-        owner, pos, _ = _route(uk, W, cap)
+        owner, pos, overflow = _route(uk, W, cap)
         send_keys = jnp.full((W, cap), EMPTY_KEY, jnp.int64)
+        # padding/overflow rows carry owner == W (out of bounds): they must
+        # be DROPPED, not clamped — a clamped write lands in owner W-1's
+        # bucket and clobbers a real key at the same position whenever the
+        # rank's ids contain duplicates (uk padding slots)
+        send_keys = send_keys.at[owner, pos].set(uk, mode="drop")
         safe_owner = jnp.minimum(owner, W - 1)
         ok = owner < W
-        send_keys = send_keys.at[safe_owner, pos].set(
-            jnp.where(ok, uk, EMPTY_KEY)
-        )
         recv_keys = jax.lax.all_to_all(
             send_keys, self.axis, split_axis=0, concat_axis=0, tiled=True
         ).reshape(W * cap)
@@ -236,6 +285,7 @@ class ShardedDynamicEmbedding:
             reverse_idx=rev, owner=owner, pos=pos,
             recv_keys=recv_keys, recv_reverse=rrev, slots=slots,
             num_unique=nu.reshape(1),
+            num_overflow=jnp.sum(overflow, dtype=jnp.int32).reshape(1),
         )
         return state, out, res
 
@@ -260,7 +310,7 @@ class ShardedDynamicEmbedding:
             lambda x: P(self.axis) if hasattr(x, "ndim") and x.ndim >= 1 else P(),
             state,
         )
-        res_spec = LookupResidual(*([P(self.axis)] * 7))
+        res_spec = LookupResidual(*([P(self.axis)] * _N_RES))
         f = shard_map(
             self._bwd_local,
             mesh=self.mesh,
@@ -282,11 +332,9 @@ class ShardedDynamicEmbedding:
             return self.table.backward(state, res.slots, gu)
         cap = res.recv_keys.shape[0] // W
         send = jnp.zeros((W, cap, dim), jnp.float32)
-        ok = res.owner < W
-        safe_owner = jnp.minimum(res.owner, W - 1)
-        send = send.at[safe_owner, res.pos].add(
-            jnp.where(ok[:, None], gu, 0.0)
-        )
+        # owner == W (padding/overflow) grads are dropped, mirroring the
+        # forward's send packing
+        send = send.at[res.owner, res.pos].add(gu, mode="drop")
         recv = jax.lax.all_to_all(
             send, self.axis, split_axis=0, concat_axis=0, tiled=True
         ).reshape(W * cap, dim)
@@ -299,6 +347,45 @@ class ShardedDynamicEmbedding:
 
 def _ndim_ge1(x) -> bool:
     return hasattr(x, "ndim") and x.ndim >= 1
+
+
+class AdaptiveBucketing:
+    """Grow `bucket_factor` when a2a bucket overflow persists.
+
+    The exchange cap is a trace-time constant (`_cap` rounds
+    `bucket_factor * n / W`), so growing the factor changes the compiled
+    step — the caller must re-jit after `observe()` returns True.
+    Reference analogue: the ragged NCCL all-to-all never overflows
+    (`input_dist.py:81` bucketize handles arbitrary skew by construction);
+    here the static cap plus this policy gives the same no-silent-loss
+    contract with at most `patience` under-trained steps per growth.
+    """
+
+    def __init__(self, tables, patience: int = 2, growth: float = 1.5,
+                 max_factor: float = 16.0):
+        self.tables = list(tables)  # ShardedDynamicEmbedding instances
+        self.patience = patience
+        self.growth = growth
+        self.max_factor = max_factor
+        self._streak = 0
+
+    def observe(self, overflow_total) -> bool:
+        """Feed the step's total overflow count. Returns True when the
+        bucket factors were just grown (caller must re-jit the step)."""
+        if int(overflow_total) <= 0:
+            self._streak = 0
+            return False
+        self._streak += 1
+        if self._streak < self.patience:
+            return False
+        self._streak = 0
+        grew = False
+        for t in self.tables:
+            nf = min(t.bucket_factor * self.growth, self.max_factor)
+            if nf > t.bucket_factor:
+                t.bucket_factor = nf
+                grew = True
+        return grew
 
 
 class GroupedShardedDynamicEmbedding:

@@ -240,10 +240,12 @@ def append_kvcache(
     flatp = tgt_page.reshape(-1)
     flati = in_page.reshape(-1)
     k_pages = state.k_pages.at[:, flatp, flati].set(
-        new_k.reshape(L, B * S, H, dh), mode="drop"
+        new_k.reshape(L, B * S, H, dh).astype(state.k_pages.dtype),
+        mode="drop",
     )
     v_pages = state.v_pages.at[:, flatp, flati].set(
-        new_v.reshape(L, B * S, H, dh), mode="drop"
+        new_v.reshape(L, B * S, H, dh).astype(state.v_pages.dtype),
+        mode="drop",
     )
     new_len = jnp.where(
         slots >= 0,

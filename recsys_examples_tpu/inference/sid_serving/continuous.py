@@ -262,6 +262,56 @@ class ContinuousGRScheduler:
             self.compile_count += 1
         return self._fns[key]
 
+    def _full_fn(self, Bb: int, N: int):
+        """Fully-fused request: prefill + every hierarchy step + finalize
+        in ONE dispatch, no pool traffic. Used by the admission fast path
+        when `steps_per_dispatch >= H - 1` (the chain covers all steps, so
+        nothing ever needs to survive in a pool slot). This makes the
+        continuous scheduler's per-group device cost identical to the
+        batch engine's single generate executable while keeping
+        per-bucket grouping, deadlines and backpressure (reference: the
+        continuous scheduler IS the fastest path,
+        gr_serving/continuous.py:544-577)."""
+        key = ("full", Bb, N)
+        if key not in self._fns:
+            H = self.model.config.num_hierarchies
+            W0 = self.widths[0]
+            Wm = self.width_pad
+            widths = self.widths
+            Wf = widths[-1]
+            margin = (
+                self.policy.margin
+                if self.policy.kind == "score_margin" else None
+            )
+
+            def f(params, batch):
+                rows = self.model.apply(
+                    {"params": params}, batch, beam_width=W0, width_pad=Wm,
+                    logits_processor=self.logits_processor,
+                    method=SIDGRModel.beam_prefill,
+                )
+                for hh in range(1, H):
+                    rows = self.model.apply(
+                        {"params": params}, rows, hh,
+                        widths[hh - 1], widths[hh],
+                        logits_processor=self.logits_processor,
+                        method=SIDGRModel.beam_step,
+                    )
+                    if margin is not None:
+                        sc = rows["scores"]
+                        best = jnp.max(sc, axis=1, keepdims=True)
+                        rows["scores"] = jnp.where(
+                            sc >= best - margin, sc, -jnp.inf
+                        )
+                return self.model.apply(
+                    {"params": params}, rows, Wf,
+                    method=SIDGRModel.beam_finalize,
+                )
+
+            self._fns[key] = jax.jit(f)
+            self.compile_count += 1
+        return self._fns[key]
+
     def _finalize_fn(self, Bb: int, N: int):
         key = ("finalize", Bb, N)
         if key not in self._fns:
@@ -312,6 +362,12 @@ class ContinuousGRScheduler:
         self.queue = alive
 
         H = self.model.config.num_hierarchies
+        # finalized chunks are completed AFTER every dispatch of the tick
+        # has been enqueued: XLA dispatch is async, so the host keeps
+        # issuing work while the device crunches earlier groups (deferred
+        # sync — on the axon tunnel each blocking np.asarray would
+        # otherwise serialize ~3 ms of launch latency per group)
+        pending: List[tuple] = []
         # ---- advance decode groups, grouped by (step, ctx bucket); each
         # group chunk takes up to steps_per_dispatch hierarchy steps (plus
         # the finalize when it reaches H) in ONE dispatch
@@ -336,23 +392,28 @@ class ContinuousGRScheduler:
                 self.metrics["dispatches"] += 1
                 if finalizes:
                     pool.arrays, paths, scores = out
-                    self._complete(chunk, np.asarray(paths),
-                                   np.asarray(scores), pool)
+                    pending.append((chunk, paths, scores, pool))
                 else:
                     pool.arrays = out
                 for fl in chunk:
                     fl.step += k
                 progressed += len(chunk)
                 self.metrics["decode_steps"] += k * len(chunk)
-        if any(fl.step >= H and fl.req.done for fl in self.inflight):
-            self.inflight = [
-                fl for fl in self.inflight if not fl.req.done
-            ]
-
         # ---- finalize stragglers (normally none: the fused step chain
-        # finalizes groups in the same dispatch they reach H)
-        done_now = [fl for fl in self.inflight if fl.step >= H]
-        self.inflight = [fl for fl in self.inflight if fl.step < H]
+        # finalizes groups in the same dispatch they reach H). Chunks
+        # pending completion still carry step >= H and stay in `inflight`
+        # until the drain below.
+        pending_ids = {
+            id(fl) for chunk, _, _, _ in pending for fl in chunk
+        }
+        done_now = [
+            fl for fl in self.inflight
+            if fl.step >= H and id(fl) not in pending_ids
+        ]
+        self.inflight = [
+            fl for fl in self.inflight
+            if fl.step < H or id(fl) in pending_ids
+        ]
         by_bucket = defaultdict(list)
         for fl in done_now:
             by_bucket[fl.bucket].append(fl)
@@ -368,11 +429,27 @@ class ContinuousGRScheduler:
                     self.params, pool.arrays, jnp.asarray(idx)
                 )
                 self.metrics["dispatches"] += 1
+                pending.append((chunk, paths, scores, pool))
+
+        # ---- drain deferred completions: every decode dispatch of this
+        # tick is in flight; sync now so the leases free up for admission
+        if pending:
+            for chunk, paths, scores, pool in pending:
                 self._complete(chunk, np.asarray(paths),
                                np.asarray(scores), pool)
+            done_ids = {
+                id(fl) for chunk, _, _, _ in pending for fl in chunk
+            }
+            self.inflight = [
+                fl for fl in self.inflight if id(fl) not in done_ids
+            ]
 
-        # ---- admit prefills (slot leases + token budget), grouped by
-        # ctx bucket
+        # ---- admit prefills, grouped by ctx bucket. Fast path: when the
+        # step chain covers every hierarchy step (steps_per_dispatch >=
+        # H-1), an admitted group runs prefill + chain + finalize in ONE
+        # pool-free dispatch (_full_fn) — no lease, no scatter/gather —
+        # so per-group device cost matches the batch engine exactly.
+        full_chain = H > 1 and self.steps_per_dispatch >= H - 1
         admit = defaultdict(list)
         budget = self.cfg.max_batch_tokens
         rest = deque()
@@ -383,13 +460,34 @@ class ContinuousGRScheduler:
             if (
                 len(admit[N]) < self.max_batch
                 and budget >= N
-                and len(pool.free) > len(admit[N])
+                and (full_chain or len(pool.free) > len(admit[N]))
             ):
                 admit[N].append(r)
                 budget -= N
             else:
                 rest.append(r)
         self.queue = rest
+        if full_chain:
+            full_pending = []
+            for N, reqs in admit.items():
+                Bb = _bucket(len(reqs), self.cfg.batch_buckets)
+                batch = self._make_batch(reqs, Bb, N)
+                for r in reqs:
+                    r.admitted_at = time.time()
+                paths, scores = self._full_fn(Bb, N)(self.params, batch)
+                self.metrics["dispatches"] += 1
+                self.metrics["prefills"] += len(reqs)
+                self.metrics["decode_steps"] += (H - 1) * len(reqs)
+                chunk = [
+                    _InFlight(req=r, bucket=N, slot=-1, step=H)
+                    for r in reqs
+                ]
+                full_pending.append((chunk, paths, scores, None))
+                progressed += len(reqs)
+            for chunk, paths, scores, _pool in full_pending:
+                self._complete(chunk, np.asarray(paths),
+                               np.asarray(scores), None)
+            return progressed
         for N, reqs in admit.items():
             pool = self.pools[N]
             Bb = _bucket(len(reqs), self.cfg.batch_buckets)
@@ -422,7 +520,8 @@ class ContinuousGRScheduler:
         return progressed
 
     def _complete(self, chunk, paths: np.ndarray, scores: np.ndarray, pool):
-        """Record results for a finalized chunk and release its leases."""
+        """Record results for a finalized chunk and release its leases
+        (pool=None for the pool-free full-chain fast path)."""
         for i, fl in enumerate(chunk):
             p_i, s_i = self.policy.filter_results(paths[i], scores[i])
             keep = np.isfinite(s_i)
@@ -444,7 +543,8 @@ class ContinuousGRScheduler:
             }
             fl.req.done = True
             self.finished[fl.req.request_id] = fl.req
-            pool.release(fl.slot)
+            if pool is not None:
+                pool.release(fl.slot)
             self.metrics["completed"] += 1
 
     def _make_batch(self, reqs, Bb: int, N: int) -> SIDBatch:

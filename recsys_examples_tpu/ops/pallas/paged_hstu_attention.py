@@ -92,11 +92,25 @@ def _kernel(
     meta_ref,    # scalar prefetch: [B*(3+maxp)] = cached_len ++ new_lens ++
                  # num_targets ++ page_table rows
     q_hbm, kp_hbm, vp_hbm, nk_hbm, nv_hbm,
-    o_hbm,
-    q_buf, nk_buf, nv_buf, k_buf, v_buf, acc_ref,
-    sem,
-    *, B, S, H, dh, PG, MAXP, alpha, inv_scaling, has_targets,
+    *rest,
+    B, S, H, dh, PG, MAXP, alpha, inv_scaling, has_targets,
+    quantized=False,
 ):
+    # int8-KV mode (quantized=True) threads two extra HBM inputs (per-
+    # token-per-head K/V scales [P, PG, 128-padded-H]) and two extra VMEM
+    # scratch buffers; page DMA volume halves (int8 vs bf16) while scales
+    # fold into the [S, PG] score/probability matrices — no K/V block
+    # dequantization (reference analogue: hstu_attn quantization_mode,
+    # hstu_attn_interface.py:185, as a bandwidth feature).
+    if quantized:
+        (ks_hbm, vs_hbm, o_hbm,
+         q_buf, nk_buf, nv_buf, k_buf, v_buf, ks_buf, vs_buf, acc_ref,
+         sem) = rest
+    else:
+        (o_hbm,
+         q_buf, nk_buf, nv_buf, k_buf, v_buf, acc_ref,
+         sem) = rest
+        ks_buf = vs_buf = None
     b = pl.program_id(0)
     # x64 is enabled framework-wide; keep scalars 32-bit for Mosaic
     alpha = jnp.float32(alpha)
@@ -118,16 +132,23 @@ def _kernel(
     def page_dma(slot, j):
         pid = meta_ref[3 * B + b * MAXP + j]
         pid = jnp.maximum(pid, 0)
-        return (
+        copies = [
             pltpu.make_async_copy(kp_hbm.at[pid], k_buf.at[slot], sem.at[jnp.int32(3) + slot]),
             pltpu.make_async_copy(vp_hbm.at[pid], v_buf.at[slot], sem.at[jnp.int32(5) + slot]),
-        )
+        ]
+        if quantized:
+            copies.append(pltpu.make_async_copy(
+                ks_hbm.at[pid], ks_buf.at[slot], sem.at[jnp.int32(7) + slot]
+            ))
+            copies.append(pltpu.make_async_copy(
+                vs_hbm.at[pid], vs_buf.at[slot], sem.at[jnp.int32(9) + slot]
+            ))
+        return copies
 
     @pl.when(num_pages > 0)
     def _start0():
-        a, bb = page_dma(jnp.int32(0), jnp.int32(0))
-        a.start()
-        bb.start()
+        for c in page_dma(jnp.int32(0), jnp.int32(0)):
+            c.start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     dq.wait()
@@ -150,13 +171,11 @@ def _kernel(
 
         @pl.when(j + 1 < num_pages)
         def _next():
-            a, bb = page_dma(jax.lax.rem(j + 1, jnp.int32(2)), j + 1)
-            a.start()
-            bb.start()
+            for c in page_dma(jax.lax.rem(j + 1, jnp.int32(2)), j + 1):
+                c.start()
 
-        a, bb = page_dma(slot, j)
-        a.wait()
-        bb.wait()
+        for c in page_dma(slot, j):
+            c.wait()
         kf = k_buf[slot]
         vf = v_buf[slot]
         col = j * jnp.int32(PG) + jax.lax.broadcasted_iota(
@@ -166,16 +185,30 @@ def _kernel(
         for h in range(H):
             hs = slice(h * dh, (h + 1) * dh)
             sc = jax.lax.dot_general(
-                qf[:, hs], kf[:, hs],
+                qf[:, hs],
+                kf[:, hs].astype(jnp.float32) if quantized else kf[:, hs],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * alpha
+            if quantized:
+                # fold the per-(token, head) K scale into the scores and
+                # the V scale into the probabilities: two [S, PG] VPU
+                # multiplies instead of dequantizing [PG, dh] blocks
+                sc = sc * ks_buf[slot][:, h][None, :]
             p = jax.nn.silu(sc) * inv_scaling * m
-            acc_ref[:, hs] += jax.lax.dot_general(
-                p.astype(vf.dtype), vf[:, hs],
-                preferred_element_type=jnp.float32,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-            )
+            if quantized:
+                p = p * vs_buf[slot][:, h][None, :]
+                acc_ref[:, hs] += jax.lax.dot_general(
+                    p, vf[:, hs].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                )
+            else:
+                acc_ref[:, hs] += jax.lax.dot_general(
+                    p.astype(vf.dtype), vf[:, hs],
+                    preferred_element_type=jnp.float32,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                )
         return jnp.int32(0)
 
     jax.lax.fori_loop(jnp.int32(0), num_pages, body, jnp.int32(0),
@@ -217,18 +250,41 @@ def _kernel(
     do.wait()
 
 
+def quantize_kv_pages(k_pages: jax.Array, v_pages: jax.Array):
+    """bf16/f32 pages [P, pg, H, dh] -> (int8 pages, per-(token, head)
+    f32 scales [P, pg, H]) for the int8-KV kernel path. Halves the page
+    DMA bytes; symmetric per-token-per-head scaling keeps the SiLU
+    attention error at bf16-noise level."""
+    def one(x):
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [P, pg, H]
+        s = a / 127.0
+        q8 = jnp.round(
+            x.astype(jnp.float32) / jnp.maximum(s, 1e-12)[..., None]
+        ).astype(jnp.int8)
+        return q8, s
+    k8, ks = one(k_pages)
+    v8, vs = one(v_pages)
+    return k8, v8, ks, vs
+
+
 def paged_hstu_delta_attention(
     q, k_pages, v_pages, page_table, cached_len, new_k, new_v, new_lens,
     num_targets, alpha: float, scaling_seqlen: float,
-    *, backend: str = "auto", interpret: bool = False,
+    *, k_scales=None, v_scales=None,
+    backend: str = "auto", interpret: bool = False,
 ):
     """Paged SiLU delta attention. Returns [B, S, H, dh].
 
-    k_pages/v_pages: [P, pg, H, dh] single-layer pools.
+    k_pages/v_pages: [P, pg, H, dh] single-layer pools — bf16/f32, or
+    int8 with `k_scales`/`v_scales` [P, pg, H] from quantize_kv_pages.
     """
+    quantized = k_scales is not None
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if backend == "jnp":
+        if quantized:
+            k_pages = k_pages.astype(jnp.float32) * k_scales[..., None]
+            v_pages = v_pages.astype(jnp.float32) * v_scales[..., None]
         return paged_hstu_delta_attention_ref(
             q, k_pages, v_pages, page_table, cached_len, new_k, new_v,
             new_lens, num_targets, alpha, scaling_seqlen,
@@ -270,36 +326,52 @@ def paged_hstu_delta_attention(
     kernel = functools.partial(
         _kernel, B=B, S=S, H=H, dh=dh, PG=PG, MAXP=MAXP,
         alpha=float(alpha), inv_scaling=1.0 / float(scaling_seqlen),
-        has_targets=has_targets,
+        has_targets=has_targets, quantized=quantized,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((S, H * dh), q.dtype),
-                pltpu.VMEM((S, H * dh), new_k.dtype),
-                pltpu.VMEM((S, H * dh), new_v.dtype),
-                pltpu.VMEM((2, PG, H * dh), k_pages.dtype),
-                pltpu.VMEM((2, PG, H * dh), v_pages.dtype),
-                pltpu.VMEM((S, H * dh), jnp.float32),
-                pltpu.SemaphoreType.DMA((7,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, S, H * dh), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(
+    scratch = [
+        pltpu.VMEM((S, H * dh), q.dtype),
+        pltpu.VMEM((S, H * dh), new_k.dtype),
+        pltpu.VMEM((S, H * dh), new_v.dtype),
+        pltpu.VMEM((2, PG, H * dh), k_pages.dtype),
+        pltpu.VMEM((2, PG, H * dh), v_pages.dtype),
+    ]
+    inputs = [
         meta,
         q.reshape(B, S, H * dh),
         k_pages.reshape(P, PG, H * dh),
         v_pages.reshape(P, PG, H * dh),
         new_k.reshape(B, S, H * dh),
         new_v.reshape(B, S, H * dh),
-    )
+    ]
+    n_in = 5
+    n_sem = 7
+    if quantized:
+        # scales ride as [P, PG, 128] (lane-padded head axis)
+        assert H <= 128, "int8-KV path assumes <= 128 heads"
+        ksp = pad_to(k_scales.astype(jnp.float32), (P, PG, 128))
+        vsp = pad_to(v_scales.astype(jnp.float32), (P, PG, 128))
+        inputs.extend([ksp, vsp])
+        scratch.extend([
+            pltpu.VMEM((2, PG, 128), jnp.float32),
+            pltpu.VMEM((2, PG, 128), jnp.float32),
+        ])
+        n_in = 7
+        n_sem = 11
+    scratch.append(pltpu.VMEM((S, H * dh), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((n_sem,)))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, H * dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*inputs)
     return out.reshape(B, S, H, dh)[:, :S0, :, :dh0]

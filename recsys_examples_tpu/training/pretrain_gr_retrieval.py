@@ -172,6 +172,15 @@ def main(argv=None):
     step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
     eval_fn = jax.jit(trainer.eval_step)
 
+    # a2a overflow watchdog (see pretrain_gr_ranking; VERDICT r3 #2)
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        AdaptiveBucketing,
+    )
+    bucketing = (
+        AdaptiveBucketing(sparse.values())
+        if sparse and mesh is not None else None
+    )
+
     peak = device_peak_tflops()
     timer = StepTimer()
     print_rank_0(
@@ -196,6 +205,22 @@ def main(argv=None):
             loss = float(metrics["loss"])
             dt = timer.stop()
             losses.append(loss)
+            ovf = int(metrics.get("emb_overflow", 0))
+            if ovf:
+                print_rank_0(
+                    f"[a2a-overflow] iter {i + 1}: {ovf} unique ids past "
+                    f"their owner bucket cap"
+                )
+            if bucketing is not None and bucketing.observe(ovf):
+                print_rank_0(
+                    "[a2a-overflow] sustained overflow: bucket_factor -> "
+                    + ", ".join(
+                        f"{n}={t.bucket_factor:.2f}"
+                        for n, t in sparse.items()
+                    )
+                    + "; re-jitting train step"
+                )
+                step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
             if (i + 1) % trainer_args.log_interval == 0:
                 item_len = np.asarray(batch.features["item"].lengths)
                 fl = hstu_train_flops(

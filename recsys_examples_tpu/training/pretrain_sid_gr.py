@@ -40,6 +40,20 @@ class SIDTrainerArgs:
 
 @configurable
 @dataclasses.dataclass(frozen=True)
+class SIDDatasetArgs:
+    """Real-data knobs (reference: SIDSequenceDataset ctor,
+    examples/commons/datasets/sid_sequence_dataset.py:32). dataset_name
+    "random" keeps the synthetic generator; "file" trains from a
+    preprocessed sequence npz/parquet + PID->SID mapping file."""
+
+    dataset_name: str = "random"
+    sequence_path: str = ""
+    sid_mapping_path: str = ""
+    shuffle: bool = True
+
+
+@configurable
+@dataclasses.dataclass(frozen=True)
 class SIDNetworkArgs:
     num_hierarchies: int = 4
     codebook_size: int = 256
@@ -54,6 +68,11 @@ class SIDNetworkArgs:
     dtype: str = "float32"
 
 
+# final-eval metrics of the last main() run (consumed by harnesses,
+# e.g. tools/convergence_sid.py)
+LAST_EVAL: dict = {}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--gin-config-file", default=None)
@@ -65,6 +84,7 @@ def main(argv=None):
     if args.max_train_iters is not None:
         ta = dataclasses.replace(ta, max_train_iters=args.max_train_iters)
     na = gin_config.make("SIDNetworkArgs")
+    da = gin_config.make("SIDDatasetArgs")
 
     cfg = SIDGRConfig(
         num_hierarchies=na.num_hierarchies,
@@ -82,11 +102,56 @@ def main(argv=None):
     model = SIDGRModel(cfg)
     tx = optax.adam(ta.learning_rate)
 
-    def make_batch(i):
-        return random_sid_batch(
-            ta.seed + i, ta.batch_size, ta.max_history_items,
-            na.num_hierarchies, na.codebook_size,
+    if da.dataset_name == "file":
+        from recsys_examples_tpu.data.sid_sequence_dataset import (
+            SIDSequenceDataset,
+            load_sequences,
+            load_sid_mapping,
         )
+
+        flat, offs, _users, _n_items = load_sequences(da.sequence_path)
+        mapping = load_sid_mapping(da.sid_mapping_path, na.num_hierarchies)
+        assert int(mapping.max()) < na.codebook_size, (
+            "SID mapping exceeds codebook_size"
+        )
+        train_ds = SIDSequenceDataset(
+            flat, offs, mapping, batch_size=ta.batch_size,
+            max_history_items=ta.max_history_items, split="train",
+            shuffle=da.shuffle, seed=ta.seed, drop_last=True,
+        )
+        eval_ds = SIDSequenceDataset(
+            flat, offs, mapping, batch_size=ta.batch_size,
+            max_history_items=ta.max_history_items, split="eval",
+            shuffle=False, drop_last=True,
+        )
+        _train_iter = [iter(train_ds)]
+
+        def make_batch(i):
+            # cycle epochs, reshuffling each pass
+            try:
+                return next(_train_iter[0])
+            except StopIteration:
+                train_ds.seed += 1
+                _train_iter[0] = iter(train_ds)
+                return next(_train_iter[0])
+
+        def make_eval_batches():
+            return iter(eval_ds)
+    else:
+        def make_batch(i):
+            return random_sid_batch(
+                ta.seed + i, ta.batch_size, ta.max_history_items,
+                na.num_hierarchies, na.codebook_size,
+            )
+
+        def make_eval_batches():
+            return (
+                random_sid_batch(
+                    777 + j, ta.batch_size, ta.max_history_items,
+                    na.num_hierarchies, na.codebook_size,
+                )
+                for j in range(ta.eval_iters)
+            )
 
     batch0 = make_batch(0)
     rng = jax.random.PRNGKey(ta.seed)
@@ -120,30 +185,43 @@ def main(argv=None):
                 f"{np.mean(losses[-ta.log_interval:]):.5f}"
             )
         if ta.eval_interval and (i + 1) % ta.eval_interval == 0:
-            run_eval(model, params, ta, na)
+            run_eval(model, params, ta, na,
+                     eval_batches=make_eval_batches())
     print_rank_0(f"done in {time.perf_counter() - t0:.1f}s")
-    run_eval(model, params, ta, na)
+    agg = run_eval(model, params, ta, na, eval_batches=make_eval_batches())
+    LAST_EVAL.clear()
+    LAST_EVAL.update(agg)
     return params
 
 
-def run_eval(model, params, ta, na):
-    ms = []
-    for j in range(ta.eval_iters):
-        batch = random_sid_batch(
-            777 + j, ta.batch_size, ta.max_history_items,
-            na.num_hierarchies, na.codebook_size,
+def run_eval(model, params, ta, na, eval_batches=None):
+    import itertools
+
+    if eval_batches is None:
+        eval_batches = (
+            random_sid_batch(
+                777 + j, ta.batch_size, ta.max_history_items,
+                na.num_hierarchies, na.codebook_size,
+            )
+            for j in range(ta.eval_iters)
         )
+    ms = []
+    for batch in itertools.islice(eval_batches, ta.eval_iters):
         paths, scores = model.apply(
             {"params": params}, batch,
             method=SIDGRModel.generate_beam_decode,
         )
         ms.append(sid_eval_metrics(paths, batch.candidate_sids))
+    if not ms:
+        print_rank_0("eval: no batches")
+        return {}
     agg = {
         k: float(np.mean([float(m[k]) for m in ms])) for k in ms[0]
     }
     print_rank_0(
         "eval: " + ", ".join(f"{k}={v:.4f}" for k, v in agg.items())
     )
+    return agg
 
 
 if __name__ == "__main__":

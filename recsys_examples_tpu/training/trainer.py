@@ -119,13 +119,22 @@ class GRTrainer:
                 sparse[name], residuals[name], gemb[name]
             )
 
+        # a2a bucket overflow tripwire: uniques past their owner bucket's
+        # cap trained on transient-init embeddings this step (grads
+        # dropped). Surfaced so entries can log it and AdaptiveBucketing
+        # can grow the cap — overflow must never be silent.
+        emb_overflow = sum(
+            (jnp.sum(r.num_overflow) for r in residuals.values()),
+            jnp.zeros((), jnp.int32),
+        )
+
         new_state = GRTrainState(
             params=new_params,
             opt_state=new_opt,
             sparse=sparse,
             step=state.step + 1,
         )
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, "emb_overflow": emb_overflow}
 
     def eval_step(self, state: GRTrainState, batch: HSTUBatch):
         emb = {}

@@ -237,3 +237,28 @@ def test_coalescing_reduces_dispatches(model_and_params):
         counts[k] = s.metrics["dispatches"]
         assert s.metrics["completed"] == 4
     assert counts[2] < counts[1], counts
+
+
+def test_full_chain_fast_path(model_and_params):
+    """steps_per_dispatch >= H-1: admitted groups run prefill + all steps
+    + finalize in ONE pool-free dispatch, with results identical to the
+    pooled stepwise path (VERDICT r3 #4: continuous must not cost more
+    dispatches than batch-at-a-time)."""
+    model, params = model_and_params
+    fast = make_sched(model, params, steps_per_dispatch=H - 1)
+    slow = make_sched(model, params, steps_per_dispatch=1)
+    ctxs = [ctx(3, 40 + i) for i in range(4)]
+    rids_f = [fast.submit(c) for c in ctxs]
+    rids_s = [slow.submit(c) for c in ctxs]
+    fast.run_until_empty()
+    slow.run_until_empty()
+    # one dispatch for the whole same-bucket group
+    assert fast.metrics["dispatches"] == 1, fast.metrics
+    assert slow.metrics["dispatches"] > fast.metrics["dispatches"]
+    # pool never touched on the fast path
+    assert all(p.high_water == 0 for p in fast.pools.values())
+    assert not any(fast.status()["pool_leaks"].values())
+    for rf, rs in zip(rids_f, rids_s):
+        a, b = fast.get_result(rf), slow.get_result(rs)
+        assert a["sids"] == b["sids"]
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-5)

@@ -85,3 +85,39 @@ def test_pallas_matches_ref(with_targets):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("with_targets", [False, True])
+def test_pallas_int8_kv_matches_ref(with_targets):
+    """int8 KV pages (halved page DMA, per-(token, head) scales folded
+    into scores/probs) must match the bf16 reference within quantization
+    noise (VERDICT r3 #6; reference: hstu_attn quantization_mode,
+    hstu_attn_interface.py:185)."""
+    from recsys_examples_tpu.ops.pallas.paged_hstu_attention import (
+        quantize_kv_pages,
+    )
+
+    B, S, H, dh, P, pg, maxp = 2, 8, 2, 128, 12, 128, 4
+    args = _case(jax.random.PRNGKey(2), B, S, H, dh, P, pg, maxp,
+                 with_targets)
+    (q, k_pages, v_pages, pt, cached_len, new_k, new_v, new_lens,
+     num_targets) = args
+    alpha, scaling = 1.0 / dh ** 0.5, 256.0
+    want = paged_hstu_delta_attention_ref(*args, alpha, scaling)
+    k8, v8, ksc, vsc = quantize_kv_pages(k_pages, v_pages)
+    got = paged_hstu_delta_attention(
+        q, k8, v8, pt, cached_len, new_k, new_v, new_lens, num_targets,
+        alpha, scaling, k_scales=ksc, v_scales=vsc,
+        backend="pallas", interpret=True,
+    )
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() <= 0.02 * scale + 1e-3, (err.max(), scale)
+    # and the jnp twin handles the quantized inputs identically
+    got_j = paged_hstu_delta_attention(
+        q, k8, v8, pt, cached_len, new_k, new_v, new_lens, num_targets,
+        alpha, scaling, k_scales=ksc, v_scales=vsc, backend="jnp",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(got_j), rtol=2e-4, atol=2e-4
+    )

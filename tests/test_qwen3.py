@@ -198,3 +198,110 @@ def test_qwen3_serving_engine(model_and_params):
     n = eng.compile_count
     eng.generate(ctxs)
     assert eng.compile_count == n
+
+
+def test_hf_loader_logit_parity_vs_numpy_twin(tmp_path):
+    """Load a synthetic HF-layout checkpoint (RANDOM weights incl. norms)
+    and assert logits match an independent numpy reimplementation of the
+    HF Qwen3 forward (y = x @ W.T, fp32 RMSNorm, per-head QK-norm,
+    rotate_half RoPE, GQA). A transpose or convention slip in
+    load_hf_weights cannot pass this (VERDICT r3 #7; reference:
+    gr_models/qwen3/weights.py validated against Qwen3-1.7B)."""
+    st = pytest.importorskip("safetensors.numpy")
+    from recsys_examples_tpu.models.qwen3 import (
+        Qwen3Config,
+        Qwen3Model,
+        load_hf_weights,
+    )
+
+    cfg = Qwen3Config.tiny(vocab_size=97)
+    rng = np.random.default_rng(11)
+    H, Hkv, dh, D, I = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                        cfg.hidden_size, cfg.intermediate_size)
+
+    def w(*shape, scale=0.08):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors = {
+        "model.embed_tokens.weight": w(cfg.vocab_size, D, scale=0.3),
+        "model.norm.weight": w(D, scale=1.0) + 1.0,
+    }
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        tensors[pre + "self_attn.q_proj.weight"] = w(H * dh, D)
+        tensors[pre + "self_attn.k_proj.weight"] = w(Hkv * dh, D)
+        tensors[pre + "self_attn.v_proj.weight"] = w(Hkv * dh, D)
+        tensors[pre + "self_attn.o_proj.weight"] = w(D, H * dh)
+        tensors[pre + "self_attn.q_norm.weight"] = w(dh, scale=0.5) + 1.0
+        tensors[pre + "self_attn.k_norm.weight"] = w(dh, scale=0.5) + 1.0
+        tensors[pre + "mlp.gate_proj.weight"] = w(I, D)
+        tensors[pre + "mlp.up_proj.weight"] = w(I, D)
+        tensors[pre + "mlp.down_proj.weight"] = w(D, I)
+        tensors[pre + "input_layernorm.weight"] = w(D, scale=0.5) + 1.0
+        tensors[pre + "post_attention_layernorm.weight"] = (
+            w(D, scale=0.5) + 1.0
+        )
+    st.save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    # ---- independent numpy twin of the HF forward
+    def rms(x, g, eps=cfg.rms_norm_eps):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * g
+
+    def rope(x, pos, theta=cfg.rope_theta):
+        # x [P, H, dh]; HF rotate_half: q*cos + [-x2, x1]*sin with
+        # cos/sin = concat([cos(ang)]*2) over the head dim
+        half = x.shape[-1] // 2
+        freq = 1.0 / theta ** (np.arange(half) / half)
+        ang = pos[:, None] * freq                       # [P, half]
+        c = np.cos(ang)[:, None, :]
+        s = np.sin(ang)[:, None, :]
+        x1, x2 = x[..., :half], x[..., half:]
+        return np.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+    def twin_forward(tokens):
+        P = len(tokens)
+        pos = np.arange(P, dtype=np.float64)
+        x = tensors["model.embed_tokens.weight"][tokens].astype(np.float64)
+        for i in range(cfg.num_layers):
+            pre = f"model.layers.{i}."
+            h = rms(x, tensors[pre + "input_layernorm.weight"])
+            q = (h @ tensors[pre + "self_attn.q_proj.weight"].T
+                 ).reshape(P, H, dh)
+            k = (h @ tensors[pre + "self_attn.k_proj.weight"].T
+                 ).reshape(P, Hkv, dh)
+            v = (h @ tensors[pre + "self_attn.v_proj.weight"].T
+                 ).reshape(P, Hkv, dh)
+            q = rms(q, tensors[pre + "self_attn.q_norm.weight"])
+            k = rms(k, tensors[pre + "self_attn.k_norm.weight"])
+            q = rope(q, pos)
+            k = rope(k, pos)
+            kr = np.repeat(k, H // Hkv, axis=1)
+            vr = np.repeat(v, H // Hkv, axis=1)
+            sc = np.einsum("qhd,khd->hqk", q, kr) / np.sqrt(dh)
+            causal = np.tril(np.ones((P, P), bool))
+            sc = np.where(causal, sc, -1e30)
+            p = np.exp(sc - sc.max(-1, keepdims=True))
+            p = p / p.sum(-1, keepdims=True)
+            att = np.einsum("hqk,khd->qhd", p, vr).reshape(P, H * dh)
+            x = x + att @ tensors[pre + "self_attn.o_proj.weight"].T
+            h = rms(x, tensors[pre + "post_attention_layernorm.weight"])
+            g = h @ tensors[pre + "mlp.gate_proj.weight"].T
+            u = h @ tensors[pre + "mlp.up_proj.weight"].T
+            silu = g / (1.0 + np.exp(-g))
+            x = x + (silu * u) @ tensors[pre + "mlp.down_proj.weight"].T
+        h = rms(x[-1], tensors["model.norm.weight"])
+        return h @ tensors["model.embed_tokens.weight"].T  # tied head
+
+    tokens = rng.integers(0, cfg.vocab_size, size=(7,))
+    want = twin_forward(tokens)
+
+    model = Qwen3Model(cfg)
+    loaded = load_hf_weights(str(tmp_path), cfg)
+    logits, _ = model.apply(
+        {"params": loaded},
+        jnp.asarray(tokens, jnp.int32)[None, :],
+        jnp.asarray([len(tokens)], jnp.int32),
+        method=Qwen3Model.prefill,
+    )
+    got = np.asarray(logits)[0]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

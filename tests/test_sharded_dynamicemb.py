@@ -165,3 +165,123 @@ def test_grouped_features_on_mesh():
     st3 = grp.backward(st, res, grads)
     st4, emb3, _ = grp.forward(st3, ids)
     assert not np.allclose(np.asarray(emb3["item"]), np.asarray(emb["item"]))
+
+
+def test_route_owner_np_matches_jax():
+    """Host-side routing (hybrid-storage prefetch bucketing) must stay in
+    bit-lockstep with the in-jit routing."""
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        route_owner,
+        route_owner_np,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2 ** 58, size=(4096,)).astype(np.int64)
+    for W in (2, 3, 8):
+        np.testing.assert_array_equal(
+            np.asarray(route_owner(jnp.asarray(keys), W)),
+            route_owner_np(keys, W),
+        )
+
+
+def test_routing_balances_structured_ids():
+    """mix64 routing must spread structured id layouts (all-even ids,
+    dense ranges, grouped-feature tid<<58 tags) near-binomially, which is
+    the property that makes a static a2a bucket cap safe."""
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        route_owner_np,
+    )
+
+    W = 8
+    layouts = {
+        "all_even": np.arange(0, 8192, 2, dtype=np.int64),
+        "dense": np.arange(4096, dtype=np.int64),
+        "tagged": np.arange(4096, dtype=np.int64) + (np.int64(3) << 58),
+    }
+    for name, ids in layouts.items():
+        counts = np.bincount(route_owner_np(ids, W), minlength=W)
+        mean = len(ids) / W
+        assert counts.max() < 1.35 * mean, (name, counts)
+
+
+def _all_owned_by(rank, count, W, seed=0):
+    """Craft `count` distinct keys that all route to `rank` under mix64
+    (adversarial skew the binomial model can't produce by chance)."""
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        route_owner_np,
+    )
+
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < count:
+        cand = rng.integers(1, 2 ** 40, size=(4096,)).astype(np.int64)
+        sel = cand[route_owner_np(cand, W) == rank]
+        out.extend(int(k) for k in sel)
+    return np.unique(np.array(out[:count], np.int64))[:count]
+
+
+def test_overflow_counted_then_adaptive_growth_trains():
+    """A2A bucket overflow must never be silent (VERDICT r3 #2): the
+    residual reports the count, and growing bucket_factor (AdaptiveBucketing
+    policy) + re-tracing eliminates it so the overflowed rows train."""
+    from recsys_examples_tpu.dynamicemb.sharded_collection import (
+        AdaptiveBucketing,
+    )
+
+    mesh = make_mesh(dp=8, tp=1)
+    W = 8
+    # 64 distinct keys, ALL owned by rank 3 -> with ids split 8/rank each
+    # rank sends 8 keys to one bucket; bucket cap for n=8 local ids at
+    # factor 1.0 is max(8, ...) = 8 ... use more keys to force overflow.
+    hot = _all_owned_by(3, 256, W)
+    ids_np = hot  # 256 ids -> 32 per rank, all to owner 3
+    sharded = ShardedDynamicEmbedding(
+        _table(W), mesh, bucket_factor=1.0
+    )
+    st = sharded.init_state()
+    ids = jnp.asarray(ids_np)
+    st, emb, res = sharded.forward(st, ids)
+    novf = int(np.sum(np.asarray(res.num_overflow)))
+    # cap = 1.0 * 32/8 = 4 rounded to 8; each rank has 32 keys for owner 3
+    # -> 24 overflow per rank
+    assert novf > 0
+    # forward still finite (transient-init fallback, not garbage)
+    assert np.isfinite(np.asarray(emb)).all()
+
+    # trainer-style policy: sustained overflow grows the factor. All keys
+    # to ONE owner is the worst case: cap clears only at factor >= W.
+    pol = AdaptiveBucketing([sharded], patience=2, growth=8.0,
+                            max_factor=16.0)
+    assert pol.observe(novf) is False          # first hit: patience
+    assert pol.observe(novf) is True           # second: grow + re-jit
+    assert sharded.bucket_factor == 8.0
+
+    # re-trace at the larger cap: overflow gone, rows actually train
+    st, emb, res = sharded.forward(st, ids)
+    assert int(np.sum(np.asarray(res.num_overflow))) == 0
+    g = jnp.ones((ids.shape[0], 8), jnp.float32)
+    st = sharded.backward(st, res, g)
+    st, emb2, _ = sharded.forward(st, ids, train=False)
+    before = np.tile((ids_np % 100000) / 100000.0, (8, 1)).T
+    moved = np.abs(np.asarray(emb2) - before).max(axis=1)
+    assert (moved > 1e-3).all(), "every hot-owner row must receive grads"
+
+
+def test_hot_single_key_no_overflow():
+    """90% of ids = one hot key per shard: per-rank dedup collapses the
+    hot key to one unique, so no overflow and the hot row still trains."""
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = ShardedDynamicEmbedding(_table(8), mesh, bucket_factor=2.0)
+    st = sharded.init_state()
+    rng = np.random.default_rng(1)
+    ids_np = np.where(
+        rng.random(256) < 0.9, 7, rng.integers(100, 500, size=(256,))
+    ).astype(np.int64)
+    ids = jnp.asarray(ids_np)
+    st, emb, res = sharded.forward(st, ids)
+    assert int(np.sum(np.asarray(res.num_overflow))) == 0
+    st = sharded.backward(st, res, jnp.ones((256, 8), jnp.float32))
+    st, emb2, _ = sharded.forward(st, ids, train=False)
+    hot = np.asarray(emb2)[ids_np == 7]
+    # duplicated grads summed into the hot row -> it moved a lot
+    assert np.abs(hot - 7 / 100000.0).max() > 0.5

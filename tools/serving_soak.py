@@ -112,8 +112,9 @@ def main():
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--beam", type=int, default=16)
     ap.add_argument("--steps-per-dispatch", type=int, nargs="+",
-                    default=[1, 2, 4],
-                    help="dispatch-coalescing factors to compare")
+                    default=[1, 2, 3],
+                    help="dispatch-coalescing factors to compare "
+                    "(>= H-1 engages the pool-free full-chain fast path)")
     args = ap.parse_args()
 
     import jax
