@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from recsys_examples_tpu.utils.backend import honor_platform_env  # noqa: E402
+
+honor_platform_env()
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()

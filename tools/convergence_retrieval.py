@@ -26,6 +26,10 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+from recsys_examples_tpu.utils.backend import honor_platform_env  # noqa: E402
+
+honor_platform_env()
+
 import numpy as np
 
 
