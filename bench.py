@@ -172,14 +172,20 @@ def main():
     model = RankingGR(hstu_cfg, task_cfg)
     trainer = GRTrainer(model, make_optimizer(1e-3, "adam"), sparse)
 
-    # One static token capacity across the whole batch pool -> one compiled
-    # executable. Reproduce each seed's length draw (first rng use in
-    # random_hstu_batch) to size the buffer to the pool's max total.
+    # Per-batch bucketed token capacity: the reference runs fully dynamic
+    # shapes (every CUDA varlen batch is exact), so a single static
+    # capacity = pool max would make every batch pay the pool's worst-case
+    # dense GEMMs (~33% padding at this pool). Instead round each batch's
+    # total up to a multiple of 2048 -> a handful of cached executables,
+    # each within 5% of the exact shape. Reproduce each seed's length draw
+    # (first rng use in random_hstu_batch) to size the buffer.
+    BUCKET = 2048 if on_tpu else 64
     totals = []
     for s in range(NBATCH):
         rng_s = np.random.default_rng(s)
         totals.append(int(_zipf_lengths(rng_s, 1.2, BATCH, MAX_HIST).sum()))
-    token_cap = -(-max(totals) // 512) * 512
+    caps = [-(-t // BUCKET) * BUCKET for t in totals]
+    token_cap = max(caps)
 
     batches = [
         random_hstu_batch(
@@ -192,7 +198,7 @@ def main():
                 "item_category_l1": 50,
             },
             max_num_candidates=0, num_tasks=NUM_TASKS,
-            zipf_a=1.2, token_capacity=token_cap,
+            zipf_a=1.2, token_capacity=caps[s],
             value_zipf={"item": 1.05, "user_id": 1.05},
         )
         for s in range(NBATCH)
@@ -247,6 +253,8 @@ def main():
             "peak_tflops": peak,
             "tokens": tokens,
             "token_capacity": token_cap,
+            "mean_capacity": round(
+                sum(caps[i % NBATCH] for i in range(ITERS)) / ITERS, 1),
             "batch_pool": NBATCH,
             "backend": jax.default_backend(),
         },
