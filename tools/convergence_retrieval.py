@@ -108,6 +108,19 @@ def main():
     ap.add_argument("--lr", type=float, default=0.001)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--log-every", type=int, default=200)
+    ap.add_argument("--demb-lr", type=float, default=0.01)
+    ap.add_argument("--sparse-wd", type=float, default=0.0,
+                    help="L2 decay on looked-up table rows (the "
+                         "anti-memorization knob; dense decay never "
+                         "touches the hash tables)")
+    ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--heads", type=int, default=2)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="eval cadence (0 = iters//8); best-HR@10 needs "
+                         "a cadence finer than the overfit onset")
     args = ap.parse_args()
 
     import jax
@@ -144,7 +157,8 @@ def main():
             f"TrainerArgs.max_train_iters = {args.iters}",
             f"TrainerArgs.log_interval = {args.log_every}",
             "TrainerArgs.eval_iters = 0",   # full holdout every eval
-            f"TrainerArgs.eval_interval = {max(args.iters // 8, 1)}",
+            f"TrainerArgs.eval_interval = "
+            f"{args.eval_every or max(args.iters // 8, 1)}",
             'DatasetArgs.dataset_name = "synthetic-movielens"',
             f'DatasetArgs.dataset_path = "{npz}"',
             f"DatasetArgs.batch_size = {BATCH}",
@@ -152,11 +166,11 @@ def main():
             "DatasetArgs.max_num_candidates = 1",
             "DatasetArgs.item_vocab_size = 2000",
             "DatasetArgs.action_vocab_size = 6",
-            "NetworkArgs.hidden_size = 128",
-            "NetworkArgs.num_layers = 2",
-            "NetworkArgs.num_attention_heads = 2",
-            "NetworkArgs.kv_channels = 64",
-            "NetworkArgs.hidden_dropout = 0.1",
+            f"NetworkArgs.hidden_size = {args.hidden}",
+            f"NetworkArgs.num_layers = {args.layers}",
+            f"NetworkArgs.num_attention_heads = {args.heads}",
+            f"NetworkArgs.kv_channels = {args.hidden // args.heads}",
+            f"NetworkArgs.hidden_dropout = {args.dropout}",
             f'NetworkArgs.kernel_backend = "{kernel}"',
             f'NetworkArgs.dtype = "{dtype}"',
             "NetworkArgs.position_num_buckets = 256",
@@ -164,7 +178,9 @@ def main():
             "DynamicEmbeddingArgs.capacity = 8192",
             "DynamicEmbeddingArgs.bucket_capacity = 32",
             'DynamicEmbeddingArgs.optimizer = "rowwise_adagrad"',
-            "RetrievalArgs.temperature = 0.05",
+            f"DynamicEmbeddingArgs.learning_rate = {args.demb_lr}",
+            f"DynamicEmbeddingArgs.weight_decay = {args.sparse_wd}",
+            f"RetrievalArgs.temperature = {args.temperature}",
         ]))
     gin_config.clear_config()
     pretrain_gr_retrieval.EVAL_HISTORY.clear()
