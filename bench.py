@@ -204,6 +204,12 @@ def main():
         for s in range(NBATCH)
     ]
 
+    # producers yield HOST (numpy) batches (thread-safety contract,
+    # data/hstu_batch.host_array); stage the pool on device once so the
+    # timed loop measures compute, not H2D
+    batches = jax.device_put(batches)
+    jax.block_until_ready(batches)
+
     rng = jax.random.PRNGKey(0)
     state = trainer.init(rng, batches[0])
     step = jax.jit(trainer.train_step, donate_argnums=(0,))

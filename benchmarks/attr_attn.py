@@ -41,6 +41,7 @@ def main():
         item_vocab=50_000_000, max_num_candidates=128, num_tasks=1,
         zipf_a=1.2, token_capacity=-1,
     )
+    batch = jax.device_put(batch)  # producers yield host (numpy) leaves
     item = batch.features["item"]
     T = item.capacity
     offs = lengths_to_offsets(item.lengths)

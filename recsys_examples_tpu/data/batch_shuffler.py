@@ -180,9 +180,9 @@ def shuffle_hstu_batch(batch, num_parts: int):
     Returns the reordered batch (jagged values repacked per feature)."""
     import dataclasses
 
-    import jax.numpy as jnp
-
-    from recsys_examples_tpu.data.hstu_batch import HSTUBatch, JaggedIds
+    from recsys_examples_tpu.data.hstu_batch import (
+        HSTUBatch, JaggedIds, host_array,
+    )
 
     item = batch.features[batch.item_feature_name]
     lengths = np.asarray(item.lengths)
@@ -201,16 +201,16 @@ def shuffle_hstu_batch(batch, num_parts: int):
             n = new_lens[j]
             out[new_offs[j]:new_offs[j] + n] = vals[offs[src]:offs[src] + n]
         return JaggedIds(
-            values=jnp.asarray(out),
-            lengths=jnp.asarray(new_lens),
-            offsets=jnp.asarray(new_offs),
+            values=host_array(out),
+            lengths=host_array(new_lens),
+            offsets=host_array(new_offs),
             max_len=f.max_len,
         )
 
     feats = {n: reorder_feature(f) for n, f in batch.features.items()}
     kw = {}
     if batch.num_candidates is not None:
-        kw["num_candidates"] = jnp.asarray(
+        kw["num_candidates"] = host_array(
             np.asarray(batch.num_candidates)[perm]
         )
     if batch.labels is not None:
@@ -219,8 +219,8 @@ def shuffle_hstu_batch(batch, num_parts: int):
         ll = np.asarray(batch.label_lengths)
         cap_per = lab.shape[0] // B
         lab2 = lab.reshape(B, cap_per)[perm].reshape(-1)
-        kw["labels"] = jnp.asarray(lab2)
-        kw["label_lengths"] = jnp.asarray(ll[perm])
+        kw["labels"] = host_array(lab2)
+        kw["label_lengths"] = host_array(ll[perm])
     if batch.timestamps is not None:
         # timestamps align with item values -> apply the SAME jagged
         # permutation as the item feature
@@ -232,5 +232,5 @@ def shuffle_hstu_batch(batch, num_parts: int):
         for j, src in enumerate(perm):
             n = new_lens[j]
             out[new_offs[j]:new_offs[j] + n] = ts[offs[src]:offs[src] + n]
-        kw["timestamps"] = jnp.asarray(out)
+        kw["timestamps"] = host_array(out)
     return dataclasses.replace(batch, features=feats, **kw)

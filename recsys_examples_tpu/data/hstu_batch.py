@@ -56,6 +56,33 @@ class HSTUBatch:
     timestamps: Optional[jax.Array] = None      # aligned with item values
 
 
+def host_array(x, dtype=None) -> np.ndarray:
+    """Canonicalized HOST (numpy) batch leaf. Batch producers must never
+    create jax arrays: producers run on the prefetch worker thread, and a
+    second thread issuing transfers against the (experimental) TPU client
+    concurrently with the main thread's compiled-step dispatches
+    intermittently corrupts batch transfers (observed as nondeterministic
+    non-finite params after a step; reference keeps its dataloader on the
+    host side the same way, train_pipeline.py:95). Dtypes mirror jax
+    canonicalization (x64 disabled) so switching producers from
+    jnp.asarray to host arrays changes nothing inside jit."""
+    a = np.asarray(x)
+    if a.dtype == np.int64:
+        a = a.astype(np.int32)
+    elif a.dtype == np.float64:
+        a = a.astype(np.float32)
+    elif a.dtype == np.uint64:
+        a = a.astype(np.uint32)
+    return a
+
+
+def as_device_batch(batch):
+    """Coerce a host (numpy-leaf) batch to jax arrays. No-op for tracers
+    and device arrays — models call this at their entry so closure-captured
+    host batches can't hit numpy fancy-indexing with traced indices."""
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
 def _zipf_lengths(rng: np.random.Generator, a: float, batch: int, max_len: int):
     ln = rng.zipf(a, size=(batch,)).astype(np.int64)
     # fold extreme draws back into range, keep at least 1
@@ -122,9 +149,9 @@ def random_hstu_batch(
             vals[:total] = rng.integers(0, vocab, size=(total,))
         offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
         return JaggedIds(
-            values=jnp.asarray(vals),
-            lengths=jnp.asarray(lengths.astype(np.int32)),
-            offsets=jnp.asarray(offs),
+            values=host_array(vals),
+            lengths=host_array(lengths.astype(np.int32)),
+            offsets=host_array(offs),
             max_len=int(capacity // batch_size),
         )
 
@@ -163,7 +190,7 @@ def random_hstu_batch(
         action_feature_name=action_name,
         contextual_feature_names=ctx_names,
         max_num_candidates=max_num_candidates,
-        num_candidates=None if ncand is None else jnp.asarray(ncand),
-        labels=jnp.asarray(lab),
-        label_lengths=jnp.asarray(label_len.astype(np.int32)),
+        num_candidates=None if ncand is None else host_array(ncand),
+        labels=host_array(lab),
+        label_lengths=host_array(label_len.astype(np.int32)),
     )

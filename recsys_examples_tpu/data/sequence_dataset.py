@@ -275,7 +275,9 @@ class SequenceDataset:
         self, batch_size: int, *, train: bool = True, seed: int = 0,
         shuffle: bool = True,
     ) -> Iterator[HSTUBatch]:
-        import jax.numpy as jnp
+        # host (numpy) leaves ONLY: this generator runs on the prefetch
+        # worker thread — see data.hstu_batch.host_array
+        from recsys_examples_tpu.data.hstu_batch import host_array
 
         rng = np.random.default_rng(seed)
         order = np.arange(self.num_users)
@@ -291,13 +293,11 @@ class SequenceDataset:
                 )
                 feats = {
                     "item": JaggedIds(
-                        values=jnp.asarray(iv),
-                        lengths=jnp.asarray(lens),
-                        offsets=jnp.asarray(
-                            np.concatenate([[0], np.cumsum(lens)]).astype(
-                                np.int32
-                            )
-                        ),
+                        values=host_array(iv),
+                        lengths=host_array(lens),
+                        offsets=np.concatenate(
+                            [[0], np.cumsum(lens)]
+                        ).astype(np.int32),
                         max_len=item_max,
                     )
                 }
@@ -306,7 +306,7 @@ class SequenceDataset:
                 if self.action_ids is not None and self.action_vocab_size:
                     act_name = "action"
                     feats["action"] = JaggedIds(
-                        values=jnp.asarray(av),
+                        values=host_array(av),
                         lengths=feats["item"].lengths,
                         offsets=feats["item"].offsets,
                         max_len=item_max,
@@ -322,11 +322,9 @@ class SequenceDataset:
                         continue
                     vals = np.asarray(src)[uids].astype(np.int64)
                     feats[cname] = JaggedIds(
-                        values=jnp.asarray(vals),
-                        lengths=jnp.ones((batch_size,), jnp.int32),
-                        offsets=jnp.asarray(
-                            np.arange(batch_size + 1, dtype=np.int32)
-                        ),
+                        values=host_array(vals),
+                        lengths=np.ones((batch_size,), np.int32),
+                        offsets=np.arange(batch_size + 1, dtype=np.int32),
                         max_len=1,
                     )
                     f2m[cname] = 1
@@ -339,11 +337,11 @@ class SequenceDataset:
                     action_feature_name=act_name,
                     contextual_feature_names=tuple(ctx_names),
                     max_num_candidates=self.max_num_candidates,
-                    num_candidates=jnp.asarray(ncand)
+                    num_candidates=host_array(ncand)
                     if self.max_num_candidates
                     else None,
-                    labels=jnp.asarray(labels),
-                    label_lengths=jnp.asarray(lab_len),
+                    labels=host_array(labels),
+                    label_lengths=host_array(lab_len),
                 )
             if not train:
                 return

@@ -51,6 +51,9 @@ class RankingGR(nn.Module):
         self, batch: HSTUBatch, train: bool = True, embeddings=None
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Returns (scalar mean loss, aux dict with logits/labels/valid)."""
+        from recsys_examples_tpu.data.hstu_batch import as_device_batch
+
+        batch = as_device_batch(batch)
         logits, jd = self.get_logits(batch, train, embeddings)
         valid = (
             jnp.arange(logits.shape[0], dtype=jnp.int32)

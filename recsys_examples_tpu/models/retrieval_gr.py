@@ -32,6 +32,9 @@ class RetrievalGR(nn.Module):
         self.hstu_block = HSTUBlock(self.hstu_config)
 
     def encode(self, batch: HSTUBatch, train: bool = True, embeddings=None):
+        from recsys_examples_tpu.data.hstu_batch import as_device_batch
+
+        batch = as_device_batch(batch)
         emb = dict(self.embeddings(batch))
         if embeddings:
             emb.update(embeddings)

@@ -120,6 +120,10 @@ def split_2D_jagged(
     total_a/total_b are the static buffer sizes of the two outputs.
     Returns (values_a, offsets_a, values_b, offsets_b).
     """
+    # batch leaves may be host numpy constants (thread-safe producers);
+    # numpy fancy-indexing with a traced index would fail below
+    len_a = jnp.asarray(len_a)
+    offsets = jnp.asarray(offsets)
     len_c = offsets[1:] - offsets[:-1]
     len_b = len_c - len_a
     offsets_a = lengths_to_offsets(len_a)

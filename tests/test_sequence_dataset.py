@@ -103,3 +103,33 @@ def test_eval_candidate_override_scores_only_holdout(npz_path):
         trow = tvals[toffs[u]:toffs[u] + tlens[u]]
         full = items[offs[u]:offs[u + 1]]
         np.testing.assert_array_equal(trow, full[:-1][-len(trow):])
+
+
+def test_batch_producers_yield_host_arrays(npz_path):
+    """Thread-safety contract: batch producers run on the prefetch worker
+    thread and must NEVER create jax arrays (a second thread issuing
+    transfers against the TPU client concurrently with the main thread's
+    dispatches corrupts batch transfers — observed as nondeterministic
+    non-finite params). Every pytree leaf must be host numpy."""
+    import jax
+
+    from recsys_examples_tpu.data.batch_shuffler import shuffle_hstu_batch
+    from recsys_examples_tpu.data.hstu_batch import random_hstu_batch
+
+    def assert_host(batch, what):
+        leaves = jax.tree_util.tree_leaves(batch)
+        assert leaves, what
+        for leaf in leaves:
+            assert isinstance(leaf, np.ndarray), (
+                what, type(leaf))
+
+    ds = SequenceDataset(npz_path, max_history_len=32, max_num_candidates=4)
+    b = next(ds.batches(4, train=True, shuffle=False))
+    assert_host(b, "SequenceDataset.batches")
+    assert_host(shuffle_hstu_batch(b, 2), "shuffle_hstu_batch")
+    rb = random_hstu_batch(
+        seed=0, batch_size=4, max_history_len=16, item_vocab=100,
+        action_vocab=8, max_num_candidates=2, num_tasks=1,
+    )
+    assert_host(rb, "random_hstu_batch")
+    assert_host(shuffle_hstu_batch(rb, 2), "shuffle_hstu_batch(random)")
