@@ -40,7 +40,7 @@ from recsys_examples_tpu.utils.perf import device_peak_tflops
 CHAIN = 4  # kernel calls per dispatch
 
 
-def run_cell(B, N, H, D, bwd, zipf, iters=8):
+def run_cell(B, N, H, D, bwd, zipf, iters=8, block_q=128, block_k=128):
     rng = np.random.default_rng(0)
     if zipf:
         lengths = np.minimum(rng.zipf(1.2, B) * max(N // 40, 1), N)
@@ -59,7 +59,8 @@ def run_cell(B, N, H, D, bwd, zipf, iters=8):
 
     def one(qq, kk, vv):
         return hstu_attn_varlen(
-            qq, kk, vv, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N
+            qq, kk, vv, aux, max_seqlen=N, alpha=0.08, scaling_seqlen=N,
+            block_q=block_q, block_k=block_k,
         )
 
     if bwd:
@@ -206,6 +207,8 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="int8 vs bf16 forward across shapes incl. the "
                         "DMA-bound serving regime (batch 1, long seq)")
+    p.add_argument("--block-q", type=int, default=128)
+    p.add_argument("--block-k", type=int, default=128)
     args = p.parse_args()
     peak = device_peak_tflops()
     mode = "bwd" if args.bwd else "fwd"
@@ -223,7 +226,8 @@ def main():
                 if B * N > 32 * 8192:   # HBM guard (same cap as ref grid)
                     continue
                 el, tflops, tokens = run_cell(
-                    B, N, args.heads, args.dim, args.bwd, zipf=False
+                    B, N, args.heads, args.dim, args.bwd, zipf=False,
+                    block_q=args.block_q, block_k=args.block_k,
                 )
                 cell = {
                     "batch": B, "max_seqlen": N, "tokens": tokens,
@@ -253,7 +257,8 @@ def main():
     for B in (8, 32):
         for N in (512, 2048, 8192):
             el, tflops, tokens = run_cell(
-                B, N, args.heads, args.dim, args.bwd, zipf=not args.full
+                B, N, args.heads, args.dim, args.bwd, zipf=not args.full,
+                block_q=args.block_q, block_k=args.block_k,
             )
             print(json.dumps({
                 "bench": "hstu_attn_kernel",
