@@ -154,6 +154,31 @@ def _compute_mask(
     return valid.astype(jnp.float32)
 
 
+def _tile_fully_valid(q_lo, col0, n, t, BQ, BK, *, causal, max_attn_len,
+                      has_targets):
+    """Scalar predicate: this (BQ x BK) tile's mask is all-ones, so the
+    kernel can skip the VPU mask evaluation (the mask math costs about as
+    many VPU cycles as the tile's MXU MACs at BQ=BK=128 — for long
+    sequences ~60-95% of visited tiles are such interior tiles).
+
+    Holds when the tile sits strictly below the causal diagonal
+    (min row >= max col), every row is inside the sequence, and every
+    column is a history column (target columns need the target-group
+    check; target ROWS over history columns are always valid). Context
+    rows/columns need no exclusion: below the diagonal a context row
+    attends all history columns via the row_ids==0 clause and a context
+    column is reached by any later row (dist > 0 after the id clamp).
+    Returns None (no fast path) for the mask families where full tiles
+    cannot be certified this cheaply (non-causal, windowed max_attn_len).
+    """
+    if not causal or max_attn_len > 0:
+        return None
+    n_cols = n - t if has_targets else n
+    return ((q_lo >= col0 + jnp.int32(BK - 1))
+            & (q_lo + jnp.int32(BQ) <= n)
+            & (col0 + jnp.int32(BK) <= n_cols))
+
+
 def _kv_extent(q_lo, n, c, BQ, *, causal, has_context):
     """How far into K/V this q tile must look."""
     if not causal:
@@ -319,13 +344,31 @@ def _fwd_kernel(
                 rab_dma(kj).wait()
                 rab_tile = rab_buf[:].astype(jnp.float32)
 
-            col_pos = kj * jnp.int32(BK) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-            mask = _compute_mask(
-                row_pos, col_pos, n, c, t,
-                causal=causal, has_context=has_context, has_targets=has_targets,
-                target_group_size=target_group_size, max_attn_len=max_attn_len,
-                min_full_attn_seq_len=min_full_attn_seq_len,
+            col0 = kj * jnp.int32(BK)
+
+            def _slow_mask():
+                col_pos = col0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ, BK), 1)
+                return _compute_mask(
+                    row_pos, col_pos, n, c, t,
+                    causal=causal, has_context=has_context,
+                    has_targets=has_targets,
+                    target_group_size=target_group_size,
+                    max_attn_len=max_attn_len,
+                    min_full_attn_seq_len=min_full_attn_seq_len,
+                )
+
+            full = _tile_fully_valid(
+                q_lo, col0, n, t, BQ, BK, causal=causal,
+                max_attn_len=max_attn_len, has_targets=has_targets,
             )
+            if full is None:
+                mask = _slow_mask()
+            else:
+                mask = jax.lax.cond(
+                    full, lambda: jnp.ones((BQ, BK), jnp.float32),
+                    _slow_mask,
+                )
             kf = k_buf[slot]
             vf = v_buf[slot]
             qq = qf
@@ -531,13 +574,31 @@ def _bwd_dq_kernel(
             if has_rab:
                 rab_rd(kj).wait()
                 rab_tile = rab_buf[:].astype(jnp.float32)
-            col_pos = kj * jnp.int32(BK) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-            mask = _compute_mask(
-                row_pos, col_pos, n, c, t,
-                causal=causal, has_context=has_context, has_targets=has_targets,
-                target_group_size=target_group_size, max_attn_len=max_attn_len,
-                min_full_attn_seq_len=min_full_attn_seq_len,
+            col0 = kj * jnp.int32(BK)
+
+            def _slow_mask():
+                col_pos = col0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ, BK), 1)
+                return _compute_mask(
+                    row_pos, col_pos, n, c, t,
+                    causal=causal, has_context=has_context,
+                    has_targets=has_targets,
+                    target_group_size=target_group_size,
+                    max_attn_len=max_attn_len,
+                    min_full_attn_seq_len=min_full_attn_seq_len,
+                )
+
+            full = _tile_fully_valid(
+                q_lo, col0, n, t, BQ, BK, causal=causal,
+                max_attn_len=max_attn_len, has_targets=has_targets,
             )
+            if full is None:
+                mask = _slow_mask()
+            else:
+                mask = jax.lax.cond(
+                    full, lambda: jnp.ones((BQ, BK), jnp.float32),
+                    _slow_mask,
+                )
             kf = k_buf[slot]
             vf = v_buf[slot]
             for h in range(H):
@@ -764,13 +825,29 @@ def _bwd_dkv_kernel(
             if has_rab:
                 rab_rd(qj).wait()
                 rab_tile = rab_buf[:].astype(jnp.float32)
-            row_pos = qj * jnp.int32(BQ) + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-            mask = _compute_mask(
-                row_pos, col_pos, n, c, t,
-                causal=causal, has_context=has_context, has_targets=has_targets,
-                target_group_size=target_group_size, max_attn_len=max_attn_len,
-                min_full_attn_seq_len=min_full_attn_seq_len,
+            def _slow_mask():
+                row_pos = qj * jnp.int32(BQ) + jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ, BK), 0)
+                return _compute_mask(
+                    row_pos, col_pos, n, c, t,
+                    causal=causal, has_context=has_context,
+                    has_targets=has_targets,
+                    target_group_size=target_group_size,
+                    max_attn_len=max_attn_len,
+                    min_full_attn_seq_len=min_full_attn_seq_len,
+                )
+
+            full = _tile_fully_valid(
+                qj * jnp.int32(BQ), k_lo, n, t, BQ, BK, causal=causal,
+                max_attn_len=max_attn_len, has_targets=has_targets,
             )
+            if full is None:
+                mask = _slow_mask()
+            else:
+                mask = jax.lax.cond(
+                    full, lambda: jnp.ones((BQ, BK), jnp.float32),
+                    _slow_mask,
+                )
             qf = q_buf[slot]
             dof = do_buf[slot]
             for h in range(H):

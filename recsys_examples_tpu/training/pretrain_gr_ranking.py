@@ -347,6 +347,24 @@ def main(argv=None):
                     f"[nan-tripwire] loss NaN at iter {i + 1}; non-finite "
                     f"state leaves: {bad or 'none (transient batch?)'}"
                 )
+                # also sanity-check the BATCH: a corrupted host->device
+                # transfer (observed on the experimental axon client under
+                # heavy host contention) shows up as garbage ids/lengths
+                # here, distinguishing transfer corruption from a genuine
+                # optimization divergence
+                probs = []
+                for name, feat in batch.features.items():
+                    ln = np.asarray(feat.lengths)
+                    vals = np.asarray(feat.values)
+                    if (ln < 0).any() or ln.sum() > vals.shape[0]:
+                        probs.append(f"{name}.lengths bad (sum={ln.sum()})")
+                    if np.issubdtype(vals.dtype, np.integer) and (
+                            vals < 0).any():
+                        probs.append(f"{name}.values negative ids")
+                print_rank_0(
+                    f"[nan-tripwire] batch check: "
+                    f"{probs or 'batch leaves look sane'}"
+                )
                 if os.environ.get("REXTPU_HALT_ON_NAN"):
                     raise FloatingPointError("loss NaN")
             if trainer_args.profile and i == trainer_args.profile_step_end:

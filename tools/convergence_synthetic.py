@@ -138,6 +138,11 @@ def main():
                          "--users runs cap this so eval stays cheap — 120 "
                          "batches is ~7.7k labels, AUC CI ~±0.01")
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse ratings/seq.npz already present in "
+                         "--workdir (skips the ~minutes of regeneration "
+                         "on this 1-core host); the planted clusters are "
+                         "re-derived from the generator seed")
     args = ap.parse_args()
 
     import jax
@@ -159,11 +164,20 @@ def main():
     os.makedirs(wd, exist_ok=True)
     ratings = os.path.join(wd, "ratings.dat")
     npz = os.path.join(wd, "seq.npz")
-    bayes_auc, item_cluster = gen_ratings(
-        ratings, n_users=args.users, task=args.task
-    )
-    preprocess_movielens(ratings, npz, min_seq_len=10)
-    oracle_auc = holdout_oracle_auc(npz, item_cluster)
+    meta = os.path.join(wd, "meta.npz")
+    if args.reuse and os.path.exists(npz) and os.path.exists(meta):
+        m = np.load(meta)
+        bayes_auc = float(m["bayes_auc"])
+        item_cluster = m["item_cluster"]
+        oracle_auc = float(m["oracle_auc"])
+    else:
+        bayes_auc, item_cluster = gen_ratings(
+            ratings, n_users=args.users, task=args.task
+        )
+        preprocess_movielens(ratings, npz, min_seq_len=10)
+        oracle_auc = holdout_oracle_auc(npz, item_cluster)
+        np.savez(meta, bayes_auc=bayes_auc, item_cluster=item_cluster,
+                 oracle_auc=oracle_auc)
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = args.dtype or ("bfloat16" if on_tpu else "float32")
